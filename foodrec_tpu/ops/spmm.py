@@ -1,0 +1,198 @@
+# coding: utf-8
+"""TPU-native SpMM: y = A @ x for a normalized sparse adjacency A.
+
+Replaces every `torch.sparse.mm` propagation loop in the reference
+(FoodRec/models/lightgcn.py:139, cikm_model.py:187/199, pricai_modelx.py:183+,
+bm3.py:93, fgcn.py:155/244, and torch_geometric GCNConv in schgn.py:34-39).
+
+Three implementations behind one Propagator interface:
+
+  * `ell`      — padded neighbour-table gather: y[n] = sum_k vals[n,k] * x[cols[n,k]].
+                 Best when max degree is bounded (ingredient/cluster graphs,
+                 degree <= 20).
+  * `segment`  — sorted-COO gather + jax.ops.segment_sum. General fallback.
+  * `pallas`   — MXU one-hot-matmul reduction: edges are pre-gathered/weighted
+                 by XLA (fused gather+mul), then a Pallas kernel reduces each
+                 row-panel with dense [E_BLK, PANEL] one-hot matmuls instead of
+                 scatter-adds. Scatter is the slow path on TPU; trading it for
+                 MXU FLOPs is the idiomatic win.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from foodrec_tpu.ops.graph import NormalizedAdjacency
+
+# ---------------------------------------------------------------------------
+# Reference implementations (XLA)
+# ---------------------------------------------------------------------------
+
+
+def spmm_coo(rows, cols, vals, x, n_rows):
+    """Sorted-COO SpMM via gather + segment_sum."""
+    contrib = x[cols] * vals[:, None]
+    return jax.ops.segment_sum(
+        contrib, rows, num_segments=n_rows, indices_are_sorted=True)
+
+
+def spmm_ell(ell_cols, ell_vals, x):
+    """Padded neighbour-table SpMM: [N, K] gather + weighted reduction."""
+    gathered = x[ell_cols]                      # [N, K, D]
+    return jnp.einsum("nk,nkd->nd", ell_vals, gathered,
+                      preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas one-hot-matmul reduction
+# ---------------------------------------------------------------------------
+
+EDGE_BLOCK = 512   # edges per kernel step
+ROW_PANEL = 256    # output rows per panel (one-hot matmul N dimension)
+
+
+def _panelize(rows, n_rows):
+    """Repartition sorted edges so no EDGE_BLOCK spans two row panels.
+
+    Returns (edge_perm, pad_to, panel_start_block, panel_n_blocks) where
+    edge_perm indexes (with -1 padding) into the original edge arrays.
+    """
+    n_panels = -(-n_rows // ROW_PANEL)
+    panel_of_edge = rows // ROW_PANEL
+    counts = np.bincount(panel_of_edge, minlength=n_panels)
+    blocks = -(-counts // EDGE_BLOCK)
+    blocks = np.maximum(blocks, 1)
+    starts = np.concatenate([[0], np.cumsum(blocks)[:-1]])
+    total_blocks = int(blocks.sum())
+
+    perm = np.full(total_blocks * EDGE_BLOCK, -1, dtype=np.int64)
+    edge_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for p in range(n_panels):
+        s = starts[p] * EDGE_BLOCK
+        perm[s:s + counts[p]] = np.arange(edge_starts[p],
+                                          edge_starts[p] + counts[p])
+    return perm, starts.astype(np.int32), blocks.astype(np.int32)
+
+
+def _spmm_pallas_kernel(start_ref, nblk_ref, lrow_ref, xg_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    p = pl.program_id(0)
+
+    @pl.when(j < nblk_ref[p])
+    def _():
+        lrows = lrow_ref[:]  # [E_BLK, 1] local row ids (or -1 padding)
+        onehot = (lrows == jax.lax.broadcasted_iota(
+            jnp.int32, (EDGE_BLOCK, ROW_PANEL), 1)).astype(jnp.float32)
+        out_ref[:] += jax.lax.dot_general(
+            onehot, xg_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # full-f32 MXU passes: the adjacency values must not round to bf16
+            # or propagation drifts from the reference normalization
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "max_blocks"))
+def _spmm_pallas_call(local_rows, starts, nblocks, xg, n_rows, max_blocks):
+    n_panels = -(-n_rows // ROW_PANEL)
+    d = xg.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_panels, max_blocks),
+        in_specs=[
+            pl.BlockSpec((EDGE_BLOCK, 1),
+                         lambda p, j, starts, nblk: (
+                             starts[p] + jnp.minimum(j, nblk[p] - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EDGE_BLOCK, d),
+                         lambda p, j, starts, nblk: (
+                             starts[p] + jnp.minimum(j, nblk[p] - 1), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW_PANEL, d),
+                               lambda p, j, starts, nblk: (p, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _spmm_pallas_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_panels * ROW_PANEL, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * local_rows.shape[0] * ROW_PANEL * d,
+            bytes_accessed=xg.size * 4 + n_panels * ROW_PANEL * d * 4,
+            transcendentals=0,
+        ),
+    )(starts, nblocks, local_rows, xg)
+    return out[:n_rows]
+
+
+class Propagator:
+    """y = A @ x with a chosen implementation.
+
+    Construct once per graph on the host; `__call__` is jit-friendly (all
+    shapes static, arrays are closed-over device constants).
+    """
+
+    def __init__(self, adj: NormalizedAdjacency, impl="auto"):
+        self.n_nodes = adj.n_nodes
+        if impl == "auto":
+            impl = "ell" if adj.has_ell else "segment"
+        if impl == "ell" and not adj.has_ell:
+            impl = "segment"
+        self.impl = impl
+
+        if impl == "ell":
+            self.ell_cols = jnp.asarray(adj.ell_cols)
+            self.ell_vals = jnp.asarray(adj.ell_vals)
+        elif impl == "segment":
+            self.rows = jnp.asarray(adj.rows)
+            self.cols = jnp.asarray(adj.cols)
+            self.vals = jnp.asarray(adj.vals)
+        elif impl == "pallas":
+            perm, starts, nblocks = _panelize(adj.rows, adj.n_nodes)
+            safe = np.maximum(perm, 0)
+            cols_p = adj.cols[safe].astype(np.int64)
+            vals_p = np.where(perm >= 0, adj.vals[safe], 0.0).astype(np.float32)
+            lrows = np.where(perm >= 0, adj.rows[safe] % ROW_PANEL, -1)
+            self.cols_p = jnp.asarray(cols_p)
+            self.vals_p = jnp.asarray(vals_p)
+            self.local_rows = jnp.asarray(
+                lrows.astype(np.int32).reshape(-1, 1))
+            self.starts = jnp.asarray(starts)
+            self.nblocks = jnp.asarray(nblocks)
+            self.max_blocks = int(nblocks.max())
+        else:
+            raise ValueError(f"unknown spmm impl: {impl}")
+
+    def __call__(self, x):
+        if self.impl == "ell":
+            return spmm_ell(self.ell_cols, self.ell_vals, x)
+        if self.impl == "segment":
+            return spmm_coo(self.rows, self.cols, self.vals, x, self.n_nodes)
+        # pallas: XLA fuses the gather+scale, the kernel does the reduction
+        xg = x[self.cols_p] * self.vals_p[:, None]
+        return _spmm_pallas_call(self.local_rows, self.starts, self.nblocks,
+                                 xg.astype(jnp.float32), self.n_nodes,
+                                 self.max_blocks)
+
+
+def propagate_mean(propagator, x0, n_layers):
+    """Repeated propagation with layer-mean readout — the shared GCN recipe
+    (reference: lightgcn.py:134-147). Uses a statically unrolled loop (tiny
+    n_layers) so XLA can fuse each hop."""
+    acc = x0
+    x = x0
+    for _ in range(n_layers):
+        x = propagator(x)
+        acc = acc + x
+    return acc / (n_layers + 1)
