@@ -1,0 +1,74 @@
+# coding: utf-8
+"""Model contract (reference: FoodRec/common/abstract_recommender.py:8-91).
+
+TPU-first redesign: a model is a *stateless program over a params pytree*.
+Instead of nn.Module buffers, each model object holds only static/device
+constants (graph propagators, feature tables, dims) built once in __init__,
+and exposes pure functions the trainer jits:
+
+    init_params(key)                  -> params pytree
+    calculate_loss(params, batch)     -> tuple of scalar losses (summed for
+                                         the gradient, logged per-part, like
+                                         trainer.py:184-190)
+    forward(params)                   -> model-specific embedding tuple (the
+                                         once-per-eval graph propagation,
+                                         `graph_inference_fast` semantics)
+    score_candidates(params, users, cand) -> [B, C] candidate scores (the
+                                         batched replacement for
+                                         inference_by_user/inference_fast)
+
+`batch` is a dict of device arrays: u_id, pos_i_id, neg_i_id (+ a float
+`weight` mask for the padded tail of the last batch). Models gather their own
+side features (image/text/ingredients/levels) from device tables — the
+reference pre-gathers them per-sample on host (dataloader.py:30-38).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class GeneralRecommender:
+    def __init__(self, config, dataset):
+        self.config = config
+        self.dataset = dataset
+        self.dd = dataset.device_data  # DeviceData, attached by quick_start
+        self.n_users = dataset.n_users
+        self.n_items = dataset.n_items
+        self.embedding_size = config["embedding_size"]
+
+        # modality features (abstract_recommender.py:84-91)
+        self.v_feat = None
+        self.t_feat = None
+        if config["is_multimodal_model"] and not config["end2end"]:
+            self.v_feat = jnp.asarray(self.dd.img, dtype=jnp.float32)
+            self.t_feat = jnp.asarray(self.dd.txt, dtype=jnp.float32)
+
+    # -- contract ------------------------------------------------------------
+    def init_params(self, key):
+        raise NotImplementedError
+
+    def calculate_loss(self, params, batch):
+        raise NotImplementedError
+
+    def forward(self, params):
+        raise NotImplementedError
+
+    def score_candidates(self, params, users, cand):
+        """Default: dot-product of propagated user/item embeddings."""
+        user_emb, item_emb = self.forward(params)[:2]
+        return jnp.einsum("bd,bcd->bc", user_emb[users], item_emb[cand])
+
+    # -- conveniences --------------------------------------------------------
+    def pre_epoch_processing(self, params):
+        return params
+
+    def post_epoch_processing(self, params):
+        return params
+
+    def num_parameters(self, params):
+        import jax
+
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+    def __str__(self):
+        return self.__class__.__name__

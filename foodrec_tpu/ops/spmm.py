@@ -102,6 +102,12 @@ def _spmm_pallas_kernel(start_ref, nblk_ref, lrow_ref, xg_ref, out_ref):
         )
 
 
+def _interpret_mode():
+    # pallas TPU kernels only run compiled on TPU; tests on the virtual CPU
+    # mesh fall back to the interpreter
+    return jax.default_backend() != "tpu"
+
+
 @functools.partial(jax.jit, static_argnames=("n_rows", "max_blocks"))
 def _spmm_pallas_call(local_rows, starts, nblocks, xg, n_rows, max_blocks):
     n_panels = -(-n_rows // ROW_PANEL)
@@ -126,6 +132,7 @@ def _spmm_pallas_call(local_rows, starts, nblocks, xg, n_rows, max_blocks):
     out = pl.pallas_call(
         _spmm_pallas_kernel,
         grid_spec=grid_spec,
+        interpret=_interpret_mode(),
         out_shape=jax.ShapeDtypeStruct((n_panels * ROW_PANEL, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * local_rows.shape[0] * ROW_PANEL * d,

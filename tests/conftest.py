@@ -6,11 +6,18 @@ JAX substitute for multi-chip testing without a real slice).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-override: the session environment pins JAX_PLATFORMS to the real TPU
+# tunnel (axon) and a sitecustomize imports jax at interpreter start, so env
+# vars alone are too late — use jax.config after import as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
