@@ -1,0 +1,178 @@
+# coding: utf-8
+"""Attention / transformer building blocks, pure JAX.
+
+Two families, matching the two encoders in the reference:
+
+  * `transformer_encoder_*`: torch nn.TransformerEncoder parity (post-LN,
+    MultiheadAttention with key-padding mask) — used by CIKM_Model's
+    ingredient encoder (cikm_model.py:27-32, 228-238). Sequences are
+    [B, L, D] (batch-first; the reference permutes to seq-first only because
+    torch requires it).
+  * `target_attention_*`: the custom chunked multi-head attention with
+    optional per-head LayerNorm on Q/K and padding mask
+    (cikm_model.py:311-369).
+
+All ops are MXU-shaped: seq len <= 20, so attention is plain batched matmul —
+no flash/blockwise machinery needed (SURVEY.md §5.7).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from foodrec_tpu.common.init import xavier_uniform
+
+ACT = {
+    "relu": jax.nn.relu,
+    "gelu": jax.nn.gelu,
+    "swish": jax.nn.silu,
+}
+
+
+def layer_norm(x, gamma, beta, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return gamma * (x - mu) * jax.lax.rsqrt(var + eps) + beta
+
+
+def dropout(key, x, rate, deterministic):
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# torch nn.TransformerEncoder parity
+# ---------------------------------------------------------------------------
+
+
+def transformer_encoder_params(key, d_model, dim_ff, n_layers):
+    """Params as re-initialized by the reference's
+    `apply(xavier_uniform_initialization)` pass (cikm_model.py:81): every
+    Linear gets xavier_uniform weight + zero bias; in_proj keeps torch's own
+    xavier_uniform; LayerNorms are (1, 0)."""
+    layers = []
+    for _ in range(n_layers):
+        ks = jax.random.split(key, 5)
+        key = ks[-1]
+        layers.append({
+            "in_proj_w": xavier_uniform(ks[0], (3 * d_model, d_model)).T,
+            "in_proj_b": jnp.zeros((3 * d_model,)),
+            "out_proj_w": xavier_uniform(ks[1], (d_model, d_model)).T,
+            "out_proj_b": jnp.zeros((d_model,)),
+            "ff1_w": xavier_uniform(ks[2], (dim_ff, d_model)).T,
+            "ff1_b": jnp.zeros((dim_ff,)),
+            "ff2_w": xavier_uniform(ks[3], (d_model, dim_ff)).T,
+            "ff2_b": jnp.zeros((d_model,)),
+            "ln1_g": jnp.ones((d_model,)), "ln1_b": jnp.zeros((d_model,)),
+            "ln2_g": jnp.ones((d_model,)), "ln2_b": jnp.zeros((d_model,)),
+        })
+    return layers
+
+
+def _mha(p, x, nhead, pad_mask, drop_rate, key, deterministic):
+    """torch MultiheadAttention forward: x [B, L, D], pad_mask [B, L] True at
+    padding. Softmax over keys with -inf at padded keys."""
+    b, L, d = x.shape
+    dh = d // nhead
+    qkv = x @ p["in_proj_w"] + p["in_proj_b"]          # [B, L, 3D]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(b, L, nhead, dh).transpose(0, 2, 1, 3)  # [B,H,L,dh]
+
+    q, k, v = heads(q), heads(k), heads(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / jnp.sqrt(dh)
+    if pad_mask is not None:
+        logits = jnp.where(pad_mask[:, None, None, :], -jnp.inf, logits)
+    attn = jax.nn.softmax(logits, axis=-1)
+    # fully-masked rows (a padded query) softmax to nan in torch too; the
+    # callers never read padded outputs, but keep them finite for grad safety
+    attn = jnp.where(jnp.isnan(attn), 0.0, attn)
+    if not deterministic and drop_rate > 0.0:
+        key, k_d = jax.random.split(key)
+        attn = dropout(k_d, attn, drop_rate, deterministic)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                     preferred_element_type=jnp.float32)
+    out = out.transpose(0, 2, 1, 3).reshape(b, L, d)
+    return out @ p["out_proj_w"] + p["out_proj_b"]
+
+
+def transformer_encoder_apply(params, x, nhead, pad_mask=None, act="gelu",
+                              drop_rate=0.0, key=None, deterministic=True):
+    """Post-LN encoder stack (torch default norm_first=False):
+    x = LN1(x + Drop(MHA(x))); x = LN2(x + Drop(FF2(Drop(Act(FF1(x))))))."""
+    act_fn = ACT[act]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    for p in params:
+        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        a = _mha(p, x, nhead, pad_mask, drop_rate, k1, deterministic)
+        x = layer_norm(x + dropout(k2, a, drop_rate, deterministic),
+                       p["ln1_g"], p["ln1_b"])
+        h = act_fn(x @ p["ff1_w"] + p["ff1_b"])
+        h = dropout(k3, h, drop_rate, deterministic)
+        h = h @ p["ff2_w"] + p["ff2_b"]
+        x = layer_norm(x + dropout(k4, h, drop_rate, deterministic),
+                       p["ln2_g"], p["ln2_b"])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# target attention (cikm_model.py:311-369)
+# ---------------------------------------------------------------------------
+
+
+def target_attention_params(num_split):
+    """linear_projection=False in both uses, so only the per-head LayerNorm
+    carries parameters (the q/k/v linears exist but are dead weight in the
+    reference; we do not materialize them)."""
+    return {"ln_g": jnp.ones((num_split,)), "ln_b": jnp.zeros((num_split,))}
+
+
+def target_attention_apply(p, query, kv, num_head, seq_ids=None,
+                           padding_idx=None):
+    """query [B, Lq, D], kv [B, Lk, D] -> [B, Lq, D].
+
+    Per-head LN('ln' mode) on Q and K, scaled dot-product, optional key
+    padding mask built from seq_ids == padding_idx with the reference's
+    additive -2^32+1 trick (cikm_model.py:349-356)."""
+    b, lq, d = query.shape
+    lk = kv.shape[1]
+    dh = d // num_head
+
+    def heads(t, L):
+        return t.reshape(b, L, num_head, dh).transpose(0, 2, 1, 3)
+
+    q = heads(query, lq)
+    k = heads(kv, lk)
+    v = heads(kv, lk)
+    q = layer_norm(q, p["ln_g"], p["ln_b"], eps=1e-12)
+    k = layer_norm(k, p["ln_g"], p["ln_b"], eps=1e-12)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (dh ** -0.5)
+    if seq_ids is not None:
+        pad = (seq_ids == padding_idx)                    # [B, Lk]
+        neg = jnp.float32(-(2.0 ** 32) + 1)
+        logits = jnp.where(pad[:, None, None, :], neg, logits)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                     preferred_element_type=jnp.float32)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, d), attn
+
+
+def mlp_2layer_params(key, d_in, d_hidden, d_out):
+    """nn.Sequential(Linear, ReLU, Linear) re-initialized to
+    xavier_uniform/zero-bias by the model's apply pass."""
+    from foodrec_tpu.common.init import linear_params
+
+    k1, k2 = jax.random.split(key)
+    return {"l1": linear_params(k1, d_in, d_hidden, init=xavier_uniform),
+            "l2": linear_params(k2, d_hidden, d_out, init=xavier_uniform)}
+
+
+def mlp_2layer_apply(p, x):
+    from foodrec_tpu.common.init import linear_apply
+
+    return linear_apply(p["l2"], jax.nn.relu(linear_apply(p["l1"], x)))

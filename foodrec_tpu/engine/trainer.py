@@ -108,7 +108,8 @@ class Trainer:
         self._train_i = jnp.asarray(dd.train_i)
         self._excl = jnp.asarray(dd.excl_bitmap)
         self._epoch_fn = self._build_epoch_fn()
-        self._score_fn = jax.jit(model.score_candidates)
+        self._cache_fn = jax.jit(model.eval_cache)
+        self._score_fn = jax.jit(model.score_from_cache)
 
         self.best_valid_score = -1.0
         self.best_valid_result = None
@@ -164,10 +165,12 @@ class Trainer:
                 weight = (start + jnp.arange(bs)) < n_train
                 u = train_u[idx]
                 i = train_i[idx]
-                neg = sample_negatives(key, u, excl, num_items,
+                k_neg, k_model = jax.random.split(key)
+                neg = sample_negatives(k_neg, u, excl, num_items,
                                        n_tries=n_tries)
                 batch = {"u_id": u, "pos_i_id": i, "neg_i_id": neg,
-                         "weight": weight.astype(jnp.float32)}
+                         "weight": weight.astype(jnp.float32),
+                         "key": k_model}
 
                 (total, parts), grads = grad_fn(params, batch)
 
@@ -282,7 +285,8 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
     def _valid(self, params, eval_set, is_test=False):
-        score_fn = functools.partial(self._score_fn, params)
+        cache = self._cache_fn(params)  # graph propagation once per eval
+        score_fn = functools.partial(self._score_fn, params, cache)
         return evaluate_by_user(score_fn, eval_set, self.neg_sample_num,
                                 batch_size=self.eval_batch_size)
 

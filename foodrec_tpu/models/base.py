@@ -55,7 +55,18 @@ class GeneralRecommender:
 
     def score_candidates(self, params, users, cand):
         """Default: dot-product of propagated user/item embeddings."""
-        user_emb, item_emb = self.forward(params)[:2]
+        return self.score_from_cache(params, self.eval_cache(params),
+                                     users, cand)
+
+    # Evaluation splits the reference's two inference paths
+    # (inference_by_user vs inference_fast + one-shot forward,
+    # trainer.py:235-246) into: eval_cache() computed ONCE per evaluation,
+    # then score_from_cache() per user block.
+    def eval_cache(self, params):
+        return self.forward(params)[:2]
+
+    def score_from_cache(self, params, cache, users, cand):
+        user_emb, item_emb = cache[:2]
         return jnp.einsum("bd,bcd->bc", user_emb[users], item_emb[cand])
 
     # -- conveniences --------------------------------------------------------

@@ -1,0 +1,226 @@
+# coding: utf-8
+"""CIKM_Model / HealthRec (CIKM 2024) — the flagship model
+(reference: FoodRec/models/cikm_model.py).
+
+Architecture (cikm_model.py:182-281):
+  * two-stage LightGCN: recipe–ingredient propagation (n_layers) over an
+    [items; ingredients] node space feeds user–item propagation (ui_layers)
+  * transformer encoder over the padded 20-token ingredient sequences with
+    key-padding mask (cikm_model.py:27-32, 228-238)
+  * two target-attention blocks: multimodal (image+text) queries over encoded
+    ingredients -> item_health, and encoded ingredients over multimodal
+    features -> item_mm (cikm_model.py:240-246)
+  * heads: sigmoid multi-hot health prediction with summed BCE
+    (cikm_model.py:251-253), hinge knowledge-distillation loss
+    1 - cos(item_know, item_emb) thresholded (cikm_model.py:263-264, 304-308),
+    BPR + EmbLoss reg
+
+Faithful quirks kept:
+  * forward()'s propagated ingredient output is discarded; the loss uses the
+    raw ingre_embedding table (cikm_model.py:223-224)
+  * the ingredient pad row (id = n_ingredients) is xavier-initialized but
+    frozen (torch padding_idx zeroes its gradient after the re-init pass)
+  * item_know sums normalized rows over all 20 positions (pads included) and
+    divides by the true ingredient count (cikm_model.py:248-249)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from foodrec_tpu.common.init import (
+    linear_apply,
+    xavier_normal,
+    xavier_uniform,
+)
+from foodrec_tpu.common.loss import bpr_loss, emb_loss
+from foodrec_tpu.common.module import (
+    mlp_2layer_apply,
+    mlp_2layer_params,
+    target_attention_apply,
+    target_attention_params,
+    transformer_encoder_apply,
+    transformer_encoder_params,
+)
+from foodrec_tpu.models import register
+from foodrec_tpu.models.base import GeneralRecommender
+from foodrec_tpu.ops.graph import (
+    bipartite_offset_edges,
+    sym_normalized_adjacency,
+    ui_bipartite_edges,
+)
+from foodrec_tpu.ops.spmm import Propagator, propagate_mean
+
+
+def _normalize(x, axis=-1):
+    """F.normalize parity: x / max(||x||, 1e-12)."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, 1e-12)
+
+
+def _cos(a, b):
+    na = jnp.maximum(jnp.linalg.norm(a, axis=-1), 1e-8)
+    nb = jnp.maximum(jnp.linalg.norm(b, axis=-1), 1e-8)
+    return jnp.sum(a * b, axis=-1) / (na * nb)
+
+
+def _torch_linear(key, d_in, d_out, weight_init):
+    kw, kb = jax.random.split(key)
+    w = weight_init(kw, (d_out, d_in)).T
+    bound = 1.0 / np.sqrt(d_in)
+    b = jax.random.uniform(kb, (d_out,), minval=-bound, maxval=bound)
+    return {"w": w, "b": b}
+
+
+@register("CIKM_Model")
+class CIKM_Model(GeneralRecommender):
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.n_ingredients = dataset.num_ingredients
+        self.n_health_level = (
+            len(dataset.health_level_multi_hot[0])
+            if config["use_health_level_multi_hot"]
+            else dataset.num_health_level)
+        self.n_layers = config["n_layers"]
+        self.ui_layers = config["ui_layers"]
+        self.reg_weight = config["reg_weight"]
+        self.loss_kd = config["loss_kd"]
+        self.loss_health = config["loss_health"]
+        self.kd_threshold = config["kd_threshold"]
+        self.nhead = config["num_attention_heads"]
+        self.n_enc_layers = config["num_hidden_layers"]
+        self.attn_dropout = config["attention_probs_dropout_prob"]
+        self.hidden_act = config["hidden_act"]
+
+        # user–item graph (cikm_model.py:139-180)
+        rows, cols = ui_bipartite_edges(dataset.train_coo_matrix, self.n_users)
+        ui_adj = sym_normalized_adjacency(rows, cols,
+                                          self.n_users + self.n_items)
+        self.ui_prop = Propagator(ui_adj, impl=config["spmm_impl"] or "auto")
+
+        # recipe–ingredient graph over items+ingredients (cikm_model.py:91-134)
+        ri_rows, ri_cols = bipartite_offset_edges(
+            dataset.rIngre_triples, offset_head=0, offset_tail=self.n_items)
+        ri_adj = sym_normalized_adjacency(
+            ri_rows, ri_cols, self.n_items + self.n_ingredients)
+        self.ri_prop = Propagator(ri_adj, impl=config["spmm_impl"] or "auto")
+
+        dd = self.dd
+        self.ingre_codes = jnp.asarray(dd.ingre_codes)      # [n_items, 20]
+        self.ingre_num = jnp.asarray(dd.ingre_num)          # [n_items]
+        mh = dd.health_mh
+        if mh is None:
+            mh = np.zeros((self.n_items, self.n_health_level), np.float32)
+        self.health_mh = jnp.asarray(mh)                    # [n_items, H]
+
+    def init_params(self, key):
+        d = self.embedding_size
+        ks = jax.random.split(key, 10)
+        return {
+            "user_embedding": xavier_uniform(ks[0], (self.n_users, d)),
+            "item_embedding": xavier_uniform(ks[1], (self.n_items, d)),
+            # pad row (last) is frozen in _ingre_table
+            "ingre_embedding": xavier_uniform(
+                ks[2], (self.n_ingredients + 1, d)),
+            "encoder": transformer_encoder_params(ks[3], d, 4 * d,
+                                                  self.n_enc_layers),
+            "mm_target_atten": target_attention_params(d // self.nhead),
+            "ingre_target_atten": target_attention_params(d // self.nhead),
+            "health_mlp": mlp_2layer_params(ks[4], d, d, self.n_health_level),
+            "image_embedding": self.v_feat,
+            "image_trs": _torch_linear(ks[5], self.v_feat.shape[1], d,
+                                       xavier_normal),
+            "text_embedding": self.t_feat,
+            "text_trs": _torch_linear(ks[6], self.t_feat.shape[1], d,
+                                      xavier_normal),
+        }
+
+    def _ingre_table(self, params):
+        w = params["ingre_embedding"]
+        return jnp.concatenate([w[:-1], jax.lax.stop_gradient(w[-1:])], axis=0)
+
+    def forward(self, params):
+        ingre = self._ingre_table(params)
+        ir_ego = jnp.concatenate([params["item_embedding"], ingre[:-1]], axis=0)
+        ir_all = propagate_mean(self.ri_prop, ir_ego, self.n_layers)
+        item_ir = ir_all[: self.n_items]
+        ingre_ir = ir_all[self.n_items:]
+
+        ui_ego = jnp.concatenate([params["user_embedding"], item_ir], axis=0)
+        ui_all = propagate_mean(self.ui_prop, ui_ego, self.ui_layers)
+        return ui_all[: self.n_users], ui_all[self.n_users:], ingre_ir
+
+    def calculate_loss(self, params, batch):
+        user = batch["u_id"]
+        pos_item = batch["pos_i_id"]
+        neg_item = batch["neg_i_id"]
+        w = batch.get("weight")
+        key = batch.get("key", jax.random.PRNGKey(0))
+        w2 = None if w is None else jnp.concatenate([w, w])
+
+        items2 = jnp.concatenate([pos_item, neg_item])       # [2B]
+        ingredients = self.ingre_codes[items2]               # [2B, 20]
+        ingre_num = self.ingre_num[items2]                   # [2B]
+        health_level = self.health_mh[items2]                # [2B, H]
+
+        user_all, item_all, _ = self.forward(params)
+        ingre_table = self._ingre_table(params)
+
+        # --- ingredient transformer (cikm_model.py:228-238) ---------------
+        ingr_emb = ingre_table[ingredients]                  # [2B, 20, D]
+        pad_mask = ingredients == self.n_ingredients
+        encoded = transformer_encoder_apply(
+            params["encoder"], ingr_emb, self.nhead, pad_mask=pad_mask,
+            act=self.hidden_act, drop_rate=self.attn_dropout, key=key,
+            deterministic=False)
+
+        # --- multimodal queries (cikm_model.py:240-246) --------------------
+        image_feats = linear_apply(params["image_trs"],
+                                   params["image_embedding"][items2])
+        text_feats = linear_apply(params["text_trs"],
+                                  params["text_embedding"][items2])
+        mm_query = jnp.stack([image_feats, text_feats], axis=1)  # [2B, 2, D]
+
+        item_health, _ = target_attention_apply(
+            params["mm_target_atten"], mm_query, encoded, self.nhead,
+            seq_ids=ingredients, padding_idx=self.n_ingredients)
+        item_mm, _ = target_attention_apply(
+            params["ingre_target_atten"], encoded, mm_query, self.nhead)
+
+        # pads included in the sum, true count in the divisor (cikm:248-249)
+        item_know = jnp.sum(_normalize(item_mm), axis=1) / ingre_num[:, None]
+
+        health_pred = jax.nn.sigmoid(mlp_2layer_apply(
+            params["health_mlp"], jnp.mean(_normalize(item_health), axis=1)))
+        bce = -(health_level * jnp.clip(jnp.log(health_pred), -100.0)
+                + (1 - health_level) * jnp.clip(jnp.log1p(-health_pred), -100.0))
+        if w2 is not None:
+            bce = bce * w2[:, None]
+        health_loss = jnp.sum(bce)
+
+        # --- BPR (cikm_model.py:255-261) ----------------------------------
+        u_e = user_all[user]
+        pos_e = item_all[pos_item]
+        neg_e = item_all[neg_item]
+        mf_loss = bpr_loss(jnp.sum(u_e * pos_e, axis=1),
+                           jnp.sum(u_e * neg_e, axis=1), weight=w)
+
+        # --- KD hinge (cikm_model.py:263-264, 304-308) ---------------------
+        cos = _cos(item_know, jnp.concatenate([pos_e, neg_e], axis=0))
+        if w2 is None:
+            kd = 1 - jnp.mean(cos)
+        else:
+            kd = 1 - jnp.sum(cos * w2) / jnp.maximum(jnp.sum(w2), 1.0)
+        kd_loss = jnp.maximum(0.0, kd - self.kd_threshold)
+
+        # --- reg (cikm_model.py:266-279) -----------------------------------
+        reg_loss = self.reg_weight * emb_loss(
+            params["user_embedding"][user],
+            params["item_embedding"][pos_item],
+            params["item_embedding"][neg_item],
+            ingre_table[self.ingre_codes[pos_item]],
+            ingre_table[self.ingre_codes[neg_item]],
+            weight=w,
+        )
+        return (mf_loss, self.loss_health * health_loss,
+                self.loss_kd * kd_loss, reg_loss)

@@ -74,7 +74,7 @@ def test_lightgcn_memorizes_train_positives(synth_root):
         params, opt_state, _ = trainer._epoch_fn(params, opt_state, k)
 
     import functools
-    score_fn = functools.partial(trainer._score_fn, params)
+    score_fn = functools.partial(jax.jit(model.score_candidates), params)
     _, metrics = evaluate_by_user(score_fn, train_es, neg_num=20,
                                   batch_size=8)
     assert metrics["AUC"] > 0.8
