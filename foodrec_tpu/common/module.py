@@ -162,6 +162,80 @@ def target_attention_apply(p, query, kv, num_head, seq_ids=None,
     return out.transpose(0, 2, 1, 3).reshape(b, lq, d), attn
 
 
+# ---------------------------------------------------------------------------
+# from-scratch post-LN encoder with additive attention mask
+# (reference: FoodRec/common/module.py:48-194, used by SCHGN's ingredient SSL)
+# ---------------------------------------------------------------------------
+
+
+def bert_encoder_params(key, d_model, inner_size, n_layers, init=None):
+    """Per-layer q/k/v/dense + 2-layer FFN + two LayerNorms. The reference
+    re-inits every Linear with truncated_normal(std=0.01) and zero bias
+    (schgn.py:130-138); pass `init` to override."""
+    from foodrec_tpu.common.init import truncated_normal
+
+    if init is None:
+        def init(k, shape, dtype=jnp.float32):
+            return truncated_normal(k, shape, dtype, std=0.01)
+
+    layers = []
+    for _ in range(n_layers):
+        ks = jax.random.split(key, 7)
+        key = ks[-1]
+        layers.append({
+            "q_w": init(ks[0], (d_model, d_model)).T, "q_b": jnp.zeros((d_model,)),
+            "k_w": init(ks[1], (d_model, d_model)).T, "k_b": jnp.zeros((d_model,)),
+            "v_w": init(ks[2], (d_model, d_model)).T, "v_b": jnp.zeros((d_model,)),
+            "dense_w": init(ks[3], (d_model, d_model)).T,
+            "dense_b": jnp.zeros((d_model,)),
+            "ff1_w": init(ks[4], (inner_size, d_model)).T,
+            "ff1_b": jnp.zeros((inner_size,)),
+            "ff2_w": init(ks[5], (d_model, inner_size)).T,
+            "ff2_b": jnp.zeros((d_model,)),
+            "ln1_g": jnp.ones((d_model,)), "ln1_b": jnp.zeros((d_model,)),
+            "ln2_g": jnp.ones((d_model,)), "ln2_b": jnp.zeros((d_model,)),
+        })
+    return layers
+
+
+def bert_encoder_apply(params, x, attn_mask, nhead, act="gelu",
+                       hidden_dropout=0.0, attn_dropout=0.0, key=None,
+                       deterministic=True, layer_norm_eps=1e-12):
+    """x [B, L, D]; attn_mask is *additive* [B, 1, 1, L] (0 keep / -1e8 drop,
+    module.py:96-101). Post-LN with residuals inside both sublayers."""
+    act_fn = ACT[act]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    b, L, d = x.shape
+    dh = d // nhead
+    for p in params:
+        key, k1, k2, k3 = jax.random.split(key, 4)
+
+        def heads(t):
+            return t.reshape(b, L, nhead, dh).transpose(0, 2, 1, 3)
+
+        q = heads(x @ p["q_w"] + p["q_b"])
+        k = heads(x @ p["k_w"] + p["k_b"])
+        v = heads(x @ p["v_w"] + p["v_b"])
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / jnp.sqrt(dh)
+        logits = logits + attn_mask
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = dropout(k1, attn, attn_dropout, deterministic)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, L, d)
+        h = ctx @ p["dense_w"] + p["dense_b"]
+        h = dropout(k2, h, hidden_dropout, deterministic)
+        x = layer_norm(h + x, p["ln1_g"], p["ln1_b"], eps=layer_norm_eps)
+
+        h = act_fn(x @ p["ff1_w"] + p["ff1_b"])
+        h = h @ p["ff2_w"] + p["ff2_b"]
+        h = dropout(k3, h, hidden_dropout, deterministic)
+        x = layer_norm(h + x, p["ln2_g"], p["ln2_b"], eps=layer_norm_eps)
+    return x
+
+
 def mlp_2layer_params(key, d_in, d_hidden, d_out):
     """nn.Sequential(Linear, ReLU, Linear) re-initialized to
     xavier_uniform/zero-bias by the model's apply pass."""

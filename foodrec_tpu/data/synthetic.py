@@ -142,13 +142,17 @@ def generate(root, n_users=24, n_items=60, n_ingredients=12, n_cal_levels=4,
         pickle.dump(multi_hot, f)
 
     # --- kmeans cluster graphs (CLUSSL input; 6 edges/item upstream, fewer here)
+    mm_cluster_dir = os.path.join(base, "mm_cluster")
+    os.makedirs(mm_cluster_dir, exist_ok=True)
     for modality in ("image", "text"):
         pairs = [(i, int(rng.integers(n_clusters)))
                  for i in range(n_items) for _ in range(2)]
         with open(os.path.join(cluster_dir, f"{modality}_cluster_edge.txt"), "w") as f:
             for a, b in pairs:
                 f.write(f"{a} {b}\n")
-        np.save(os.path.join(cluster_dir, f"../mm_cluster_{modality}_center.npy"),
+        # pretrained center path read by PRICAI_ModelX when
+        # use_center_embedding (pricai_modelx.py:78-80)
+        np.save(os.path.join(mm_cluster_dir, f"{modality}_center.npy"),
                 rng.normal(size=(n_clusters, img_dim if modality == "image" else txt_dim)
                            ).astype(np.float32))
 

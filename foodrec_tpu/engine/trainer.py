@@ -287,8 +287,12 @@ class Trainer:
     def _valid(self, params, eval_set, is_test=False):
         cache = self._cache_fn(params)  # graph propagation once per eval
         score_fn = functools.partial(self._score_fn, params, cache)
+        bs = self.eval_batch_size
+        cap = getattr(self.model, "eval_batch_cap", None)
+        if cap:
+            bs = min(bs, cap)
         return evaluate_by_user(score_fn, eval_set, self.neg_sample_num,
-                                batch_size=self.eval_batch_size)
+                                batch_size=bs)
 
     def evaluate(self, params, eval_set, is_test=False):
         return self._valid(params, eval_set, is_test)[1]

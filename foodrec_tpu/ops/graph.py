@@ -118,6 +118,28 @@ def row_normalized_adjacency(rows, cols, n_nodes, symmetrize=True):
     return _build(rows, cols, vals, n_nodes)
 
 
+def gcn_conv_adjacency(src, dst, n_nodes):
+    """torch_geometric GCNConv gcn_norm parity over a *directed* edge list
+    (used by SCHGN's hetero graph, schgn.py:29-41):
+
+      A_hat = A + I;  deg[i] = in-degree(i) + 1 (self loop);
+      val(s, d) = deg[s]^-1/2 * deg[d]^-1/2;  y[d] = sum val * x[s]
+
+    Note PyG computes deg on the target column but indexes it at both edge
+    ends, so isolated-source nodes use their own (self-loop-only) in-degree.
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    loop = np.arange(n_nodes, dtype=np.int64)
+    src = np.concatenate([src, loop])
+    dst = np.concatenate([dst, loop])
+    deg = np.bincount(dst, minlength=n_nodes).astype(np.float64)
+    d_inv_sqrt = np.power(np.maximum(deg, 1e-12), -0.5)
+    vals = d_inv_sqrt[src] * d_inv_sqrt[dst]
+    # rows = dst so Propagator's y = A @ x aggregates incoming messages
+    return _build(dst, src, vals.astype(np.float32), n_nodes)
+
+
 def bipartite_offset_edges(triples, offset_head=0, offset_tail=0):
     """Map (head, tail) triples into a joint node-id space.
 

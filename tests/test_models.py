@@ -12,7 +12,7 @@ MODEL_OVERRIDES = {
     "LightGCN": {},
     "BM3": {},
     "CIKM_Model": {},
-    "PRICAI_ModelX": {},
+    "PRICAI_ModelX": {"n_cluster": 5},  # synthetic fixture has 5 clusters
     "SCHGN": {},
     "FGCN": {},
 }
