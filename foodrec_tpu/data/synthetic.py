@@ -22,8 +22,14 @@ MAX_INGRE_LEN = 20
 
 def generate(root, n_users=24, n_items=60, n_ingredients=12, n_cal_levels=4,
              n_health_levels=6, n_clusters=5, img_dim=16, txt_dim=8,
-             neg_num=20, seed=0):
-    """Write a full synthetic dataset under `root/processed_dataset/`."""
+             neg_num=20, seed=0, train_per_user=(2, 6), valid_per_user=(0, 3),
+             test_per_user=(1, 3)):
+    """Write a full synthetic dataset under `root/processed_dataset/`.
+
+    Scale knobs (`n_users=7596, n_items=29943, n_ingredients=4963,
+    img_dim=2048, txt_dim=512, neg_num=500, train_per_user=(20, 31)`)
+    reproduce the Foodcom footprint from BASELINE.md for benchmarking.
+    """
     rng = np.random.default_rng(seed)
     base = os.path.join(root, "processed_dataset")
     graph_dir = os.path.join(base, "graph_edge")
@@ -35,9 +41,10 @@ def generate(root, n_users=24, n_items=60, n_ingredients=12, n_cal_levels=4,
     train_rows, valid_rows, test_rows = [], [], []
     user_pos = {}
     for u in range(n_users):
-        n_tr = int(rng.integers(2, 6))
-        n_va = int(rng.integers(0, 3)) if rng.random() < 0.8 else 0
-        n_te = int(rng.integers(1, 3))
+        n_tr = int(rng.integers(*train_per_user))
+        n_va = (int(rng.integers(*valid_per_user))
+                if (valid_per_user[1] > 1 and rng.random() < 0.8) else 0)
+        n_te = int(rng.integers(*test_per_user))
         items = rng.choice(n_items, size=n_tr + n_va + n_te, replace=False)
         tr, va, te = items[:n_tr], items[n_tr:n_tr + n_va], items[n_tr + n_va:]
         user_pos[u] = set(items.tolist())
@@ -155,6 +162,36 @@ def generate(root, n_users=24, n_items=60, n_ingredients=12, n_cal_levels=4,
         np.save(os.path.join(mm_cluster_dir, f"{modality}_center.npy"),
                 rng.normal(size=(n_clusters, img_dim if modality == "image" else txt_dim)
                            ).astype(np.float32))
+
+    # --- study splits (cold/warm, sense/unsense, per-health-level) ----------
+    # consumed by the cold_study / sense_study / health_level_study flags
+    # (reference dataset.py:62-86; feeders dataloader.py:305-499)
+    test_by_user = {}
+    for u, i in test_rows:
+        test_by_user.setdefault(u, []).append(i)
+    test_users = sorted(test_by_user)
+
+    def write_study(dirname, name, users):
+        d = os.path.join(base, dirname)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{name}.rating"), "w") as f:
+            for u in users:
+                for i in test_by_user[u]:
+                    f.write(f"{u}\t{i}\t5.0\t0\n")
+        with open(os.path.join(d, f"{name}.negative"), "w") as f:
+            for u in users:
+                negs = "\t".join(str(int(x)) for x in sample_negs(u))
+                f.write(f"(u:{u})\t{negs}\n")
+
+    half = len(test_users) // 2
+    write_study("cold_start", "data.cold", test_users[:half])
+    write_study("cold_start", "data.warm", test_users[half:])
+    write_study("sense_user", "data.sense", test_users[:half])
+    write_study("sense_user", "data.unsense", test_users[half:])
+    for hl in range(n_health_levels):
+        bucket = [u for j, u in enumerate(test_users)
+                  if j % n_health_levels == hl]
+        write_study("health_level", f"data_health{hl}", bucket)
 
     return {
         "n_users": n_users, "n_items": n_items, "n_ingredients": n_ingredients,

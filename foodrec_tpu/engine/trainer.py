@@ -104,6 +104,11 @@ class Trainer:
         self.optimizer = build_optimizer(self.learner, lr_schedule,
                                          self.weight_decay)
 
+        # optional device mesh (config['mesh_shape'], parallel/mesh.py)
+        from foodrec_tpu.parallel.mesh import make_mesh
+
+        self.mesh = make_mesh(config["mesh_shape"])
+
         self._train_u = jnp.asarray(dd.train_u)
         self._train_i = jnp.asarray(dd.train_i)
         self._excl = jnp.asarray(dd.excl_bitmap)
@@ -148,57 +153,85 @@ class Trainer:
         n_tries = self.config["neg_sample_tries"] or 32
         train_u, train_i, excl = self._train_u, self._train_i, self._excl
         num_items = model.dd.num_items
+        # chunk the per-epoch scan: K steps per jit call, host loop over
+        # chunks (bounds compile-unit size; semantics identical because
+        # overflow steps skip the optimizer update entirely)
+        chunk = self.config["epoch_scan_chunk"]
+        chunk = n_batches if not chunk else min(int(chunk), n_batches)
+        n_chunks = -(-n_batches // chunk)
+
+        def train_step(carry, batch_idx):
+            params, opt_state, perm, k_steps = carry
+            key = jax.random.fold_in(k_steps, batch_idx)
+            start = batch_idx * bs
+            idx = jax.lax.dynamic_slice_in_dim(perm, start, bs)
+            weight = (start + jnp.arange(bs)) < n_train
+            u = train_u[idx]
+            i = train_i[idx]
+            k_neg, k_model = jax.random.split(key)
+            neg = sample_negatives(k_neg, u, excl, num_items,
+                                   n_tries=n_tries)
+            batch = {"u_id": u, "pos_i_id": i, "neg_i_id": neg,
+                     "weight": weight.astype(jnp.float32),
+                     "key": k_model}
+            if self.mesh is not None:
+                from foodrec_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(self.mesh, batch)
+
+            (total, parts), grads = grad_fn(params, batch)
+
+            if mg:
+                def mg_update(args):
+                    params, opt_state = args
+                    g1 = jax.tree.map(lambda g: alpha1 * g, grads)
+                    params1, opt_state1 = apply_update(params, opt_state, g1)
+                    # replay the same batch at the new params
+                    (_, _), grads2 = grad_fn(params1, batch)
+                    g2 = jax.tree.map(lambda g: -alpha2 * g, grads2)
+                    return apply_update(params1, opt_state1, g2)
+
+                def plain_update(args):
+                    params, opt_state = args
+                    return apply_update(params, opt_state, grads)
+
+                new_params, new_opt = jax.lax.cond(
+                    batch_idx % beta == 0, mg_update, plain_update,
+                    (params, opt_state))
+            else:
+                new_params, new_opt = apply_update(params, opt_state, grads)
+
+            # overflow steps of the final ragged chunk are no-ops
+            live = batch_idx < n_batches
+            params = jax.tree.map(
+                lambda new, old: jnp.where(live, new, old), new_params, params)
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(live, new, old), new_opt, opt_state)
+            parts = jnp.where(live, parts, jnp.zeros_like(parts))
+            return (params, opt_state, perm, k_steps), parts
 
         @jax.jit
+        def perm_fn(key):
+            perm = jax.random.permutation(key, n_train)
+            pad = n_batches * bs - n_train
+            return jnp.concatenate([perm, perm[:pad]]).astype(jnp.int32)
+
+        @jax.jit
+        def chunk_fn(params, opt_state, perm, k_steps, chunk_idx):
+            (params, opt_state, _, _), parts = jax.lax.scan(
+                train_step, (params, opt_state, perm, k_steps),
+                chunk_idx * chunk + jnp.arange(chunk))
+            return params, opt_state, jnp.sum(parts, axis=0)
+
         def epoch_fn(params, opt_state, key):
             k_perm, k_steps = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, n_train)
-            pad = n_batches * bs - n_train
-            perm = jnp.concatenate([perm, perm[:pad]]).astype(jnp.int32)
-            step_keys = jax.random.split(k_steps, n_batches)
-
-            def train_step(carry, step_key_idx):
-                params, opt_state = carry
-                key, batch_idx = step_key_idx
-                start = batch_idx * bs
-                idx = jax.lax.dynamic_slice_in_dim(perm, start, bs)
-                weight = (start + jnp.arange(bs)) < n_train
-                u = train_u[idx]
-                i = train_i[idx]
-                k_neg, k_model = jax.random.split(key)
-                neg = sample_negatives(k_neg, u, excl, num_items,
-                                       n_tries=n_tries)
-                batch = {"u_id": u, "pos_i_id": i, "neg_i_id": neg,
-                         "weight": weight.astype(jnp.float32),
-                         "key": k_model}
-
-                (total, parts), grads = grad_fn(params, batch)
-
-                if mg:
-                    def mg_update(args):
-                        params, opt_state = args
-                        g1 = jax.tree.map(lambda g: alpha1 * g, grads)
-                        params1, opt_state1 = apply_update(params, opt_state, g1)
-                        # replay the same batch at the new params
-                        (_, _), grads2 = grad_fn(params1, batch)
-                        g2 = jax.tree.map(lambda g: -alpha2 * g, grads2)
-                        return apply_update(params1, opt_state1, g2)
-
-                    def plain_update(args):
-                        params, opt_state = args
-                        return apply_update(params, opt_state, grads)
-
-                    params, opt_state = jax.lax.cond(
-                        batch_idx % beta == 0, mg_update, plain_update,
-                        (params, opt_state))
-                else:
-                    params, opt_state = apply_update(params, opt_state, grads)
-                return (params, opt_state), parts
-
-            (params, opt_state), parts = jax.lax.scan(
-                train_step, (params, opt_state),
-                (step_keys, jnp.arange(n_batches)))
-            return params, opt_state, jnp.sum(parts, axis=0)
+            perm = perm_fn(k_perm)
+            loss_parts = None
+            for c in range(n_chunks):
+                params, opt_state, parts = chunk_fn(
+                    params, opt_state, perm, k_steps, jnp.int32(c))
+                loss_parts = parts if loss_parts is None else loss_parts + parts
+            return params, opt_state, loss_parts
 
         return epoch_fn
 
@@ -230,13 +263,23 @@ class Trainer:
         best_test_upon_valid = {}
         stop = False
 
+        # optional jax.profiler trace of one epoch (SURVEY.md §5.1: the
+        # reference only wall-clocks epochs, trainer.py:406-419)
+        trace_dir = self.config["profile_trace_dir"]
+
         for epoch_idx in range(self.epochs):
             t0 = time.time()
             if self.req_training:
                 key, k_epoch = jax.random.split(key)
                 params = self.model.pre_epoch_processing(params)
-                params, opt_state, loss_parts = self._epoch_fn(
-                    params, opt_state, k_epoch)
+                if trace_dir and epoch_idx == 1:  # epoch 0 pays the compile
+                    with jax.profiler.trace(trace_dir):
+                        params, opt_state, loss_parts = self._epoch_fn(
+                            params, opt_state, k_epoch)
+                        jax.block_until_ready(loss_parts)
+                else:
+                    params, opt_state, loss_parts = self._epoch_fn(
+                        params, opt_state, k_epoch)
                 loss_parts = np.asarray(loss_parts)
                 if not np.isfinite(loss_parts).all():
                     self.logger.info(
@@ -285,17 +328,165 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
     def _valid(self, params, eval_set, is_test=False):
+        """Dispatch between the reference's three eval paths
+        (trainer.py:428-437): eval_by_user (default) > full_sort > sampled."""
+        if self.config["eval_by_user"]:
+            return self._valid_by_user(params, eval_set)
+        if self.config["full_sort"]:
+            return self._valid_full_sort(params, is_test)
+        return self._valid_sample(params, is_test)
+
+    def _score_fn_cached(self, params):
         cache = self._cache_fn(params)  # graph propagation once per eval
-        score_fn = functools.partial(self._score_fn, params, cache)
+        return functools.partial(self._score_fn, params, cache)
+
+    def _valid_by_user(self, params, eval_set, return_per_user=False):
+        score_fn = self._score_fn_cached(params)
         bs = self.eval_batch_size
         cap = getattr(self.model, "eval_batch_cap", None)
         if cap:
             bs = min(bs, cap)
         return evaluate_by_user(score_fn, eval_set, self.neg_sample_num,
-                                batch_size=bs)
+                                batch_size=bs,
+                                return_per_user=return_per_user)
+
+    def _valid_full_sort(self, params, is_test, idx=0):
+        """Full-catalog ranking -> TopKEvaluator metrics
+        (reference trainer.py:476-503 + topk_evaluator.py)."""
+        from foodrec_tpu.engine.topk_evaluator import (
+            TopKEvaluator, full_sort_topk)
+
+        ds = self.model.dataset
+        if is_test:
+            users = list(range(ds.num_users))
+            pos_items = ds.testRatings
+        else:
+            users = ds.valid_users
+            pos_items = ds.validRatings
+        pos_len = [len(p) for p in pos_items]
+
+        evaluator = TopKEvaluator(self.config)
+        score_fn = self._score_fn_cached(params)
+        topk_index = full_sort_topk(score_fn, users, ds.num_items,
+                                    max(evaluator.topk),
+                                    user_batch=min(self.eval_batch_size, 64))
+        result = evaluator.evaluate(topk_index, (users, pos_items, pos_len),
+                                    is_test=is_test, idx=idx)
+        valid_metric = (self.config["valid_metric"] or "NDCG@20").lower()
+        score = result.get(valid_metric, result.get("ndcg@20", 0.0))
+        return score, result
+
+    def _valid_sample(self, params, is_test):
+        """Sampled rank-of-positive eval: candidates per positive interaction
+        are [user's 500 negatives, positive] (reference trainer.py:298-349;
+        EvalDataLoader full_sort=False, dataloader.py:174-220)."""
+        from foodrec_tpu.engine.topk_evaluator import sample_rank_metrics
+
+        ds = self.model.dataset
+        rows_u, rows_c = [], []
+        if is_test:
+            per_user = zip(range(ds.num_users), ds.testRatings,
+                           ds.testNegatives)
+        else:
+            per_user = zip(ds.valid_users, ds.validRatings, ds.validNegatives)
+        for u, pos_list, negs in per_user:
+            for p in pos_list:
+                rows_u.append(u)
+                rows_c.append(list(negs) + [p])
+        users = np.asarray(rows_u, dtype=np.int32)
+        cand = np.asarray(rows_c, dtype=np.int32)
+
+        score_fn = self._score_fn_cached(params)
+        bs = min(self.eval_batch_size,
+                 getattr(self.model, "eval_batch_cap", None)
+                 or self.eval_batch_size)
+        preds = []
+        pad = (-len(users)) % bs
+        users_p = np.concatenate([users, np.zeros(pad, users.dtype)])
+        cand_p = np.concatenate(
+            [cand, np.zeros((pad, cand.shape[1]), cand.dtype)])
+        for s in range(0, len(users_p), bs):
+            preds.append(np.asarray(score_fn(jnp.asarray(users_p[s:s + bs]),
+                                             jnp.asarray(cand_p[s:s + bs]))))
+        pred_list = np.concatenate(preds)[:len(users)]
+        result = sample_rank_metrics(pred_list, self.neg_sample_num)
+        return result["NDCG@20"], result
 
     def evaluate(self, params, eval_set, is_test=False):
         return self._valid(params, eval_set, is_test)[1]
+
+    # ----------------------------------------------------------- study evals
+    # The reference exposes cold/warm, sense/unsense and per-health-level
+    # by-user evals as standalone trainer methods over dedicated feeders
+    # (trainer.py:631-804; feeders dataloader.py:305-499). Here each split is
+    # one padded EvalSet through the same batched evaluator; per-user metric
+    # arrays and raw predictions are returned like the *_record_prediction
+    # variants (trainer.py:525-582).
+    def _study_eval(self, params, users, ratings, negatives):
+        from foodrec_tpu.data.device import build_eval_set
+
+        es = build_eval_set(users, ratings, negatives)
+        score_fn = self._score_fn_cached(params)
+        bs = min(self.eval_batch_size,
+                 getattr(self.model, "eval_batch_cap", None)
+                 or self.eval_batch_size)
+        _, metrics, per_user, preds = evaluate_by_user(
+            score_fn, es, self.neg_sample_num, batch_size=bs,
+            return_per_user=True)
+        return metrics, per_user, preds
+
+    def cold_start_study(self, params):
+        """Requires config['cold_study'] data (trainer.py:631-688)."""
+        ds = self.model.dataset
+        cold = self._study_eval(params, ds.cold_users, ds.coldRatings,
+                                ds.coldNegatives)
+        warm = self._study_eval(params, ds.warm_users, ds.warmRatings,
+                                ds.warmNegatives)
+        return {"cold": cold[0], "warm": warm[0],
+                "cold_predictions": cold[2], "warm_predictions": warm[2]}
+
+    def sense_study(self, params):
+        """Requires config['sense_study'] data (trainer.py:747-804)."""
+        ds = self.model.dataset
+        sense = self._study_eval(params, ds.sense_users, ds.senseRatings,
+                                 ds.senseNegatives)
+        unsense = self._study_eval(params, ds.unsense_users,
+                                   ds.unsenseRatings, ds.unsenseNegatives)
+        return {"sense": sense[0], "unsense": unsense[0],
+                "sense_predictions": sense[2],
+                "unsense_predictions": unsense[2]}
+
+    def health_level_study(self, params, n_levels=6):
+        """Requires config['health_level_study'] data (trainer.py:690-745)."""
+        ds = self.model.dataset
+        out = {}
+        for hl in range(n_levels):
+            if not len(ds.healthUsers[hl]):
+                continue
+            metrics, _, _ = self._study_eval(
+                params, ds.healthUsers[hl], ds.healthRatings[hl],
+                ds.healthNegatives[hl])
+            out[f"health_{hl}"] = metrics
+        return out
+
+    def plot_train_loss(self, show=False, path=None):
+        """Epoch-loss curve dump (reference trainer.py:505-523)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        epochs = sorted(self.train_loss_dict)
+        plt.figure()
+        plt.plot(epochs, [self.train_loss_dict[e] for e in epochs])
+        plt.xticks(epochs)
+        plt.xlabel("Epoch")
+        plt.ylabel("Loss")
+        if path:
+            plt.savefig(path)
+        if show:
+            plt.show()
+        plt.close()
 
     # ------------------------------------------------------------ checkpoint
     @staticmethod

@@ -21,6 +21,9 @@ def main():
     parser.add_argument("--neg_sample_num", type=int, default=None)
     args, _ = parser.parse_known_args()
 
+    from foodrec_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     config_dict = {"gpu_id": 0}
     for k in ("data_path", "epochs", "neg_sample_num"):
         if getattr(args, k) is not None:

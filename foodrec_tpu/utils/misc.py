@@ -11,6 +11,18 @@ import random
 import numpy as np
 
 
+def enable_compilation_cache(path="/tmp/jax_cache"):
+    """Persistent XLA compilation cache — first compiles through the TPU
+    tunnel are slow (minutes at Foodcom scale); cache them across runs."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # older jax without these flags
+        pass
+
+
 def get_local_time():
     return datetime.datetime.now().strftime("%b-%d-%Y-%H-%M-%S")
 

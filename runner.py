@@ -21,6 +21,9 @@ if __name__ == "__main__":
                         help="whether to use Mirror Gradient")
     args, _ = parser.parse_known_args()
 
+    from foodrec_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     config_dict = {"gpu_id": 0}
     quick_start(model=args.model, dataset=args.dataset,
                 config_dict=config_dict, save_model=True, mg=args.mg)
