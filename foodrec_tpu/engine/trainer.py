@@ -29,7 +29,6 @@ batch['weight'].
 import functools
 import logging
 import os
-import pickle
 import time
 
 import jax
@@ -259,6 +258,24 @@ class Trainer:
         opt_state = self.optimizer.init(params)
 
         cur_step = 0
+        start_epoch = 0
+        # mid-training resume (no reference equivalent — start_epoch is
+        # always 0 there, trainer.py:109; SURVEY.md §5.4)
+        if config["resume_from"]:
+            from foodrec_tpu.engine import checkpoint as ckpt
+
+            state = ckpt.load_state(config["resume_from"],
+                                    opt_state_template=opt_state)
+            params = state["params"]
+            opt_state = state["opt_state"]
+            key = state["key"]
+            start_epoch = state["epoch"] + 1
+            cur_step = state["cur_step"]
+            self.best_valid_score = state["best_valid_score"]
+            self.train_loss_dict.update(state["train_loss_dict"])
+            self.logger.info(f"resumed from {config['resume_from']} at "
+                             f"epoch {start_epoch}")
+
         best_params = params
         best_test_upon_valid = {}
         stop = False
@@ -267,7 +284,7 @@ class Trainer:
         # reference only wall-clocks epochs, trainer.py:406-419)
         trace_dir = self.config["profile_trace_dir"]
 
-        for epoch_idx in range(self.epochs):
+        for epoch_idx in range(start_epoch, self.epochs):
             t0 = time.time()
             if self.req_training:
                 key, k_epoch = jax.random.split(key)
@@ -294,6 +311,20 @@ class Trainer:
                 self.logger.info(
                     f"epoch {epoch_idx} training [time: {time.time() - t0:.2f}s, "
                     f"lr: {float(lr_now):.6f}, {parts_str}]")
+
+            if (config["save_state_every"]
+                    and (epoch_idx + 1) % config["save_state_every"] == 0):
+                import re
+
+                from foodrec_tpu.engine import checkpoint as ckpt
+
+                # tensorstore rejects brackets/quotes in paths — sanitize
+                state_path = re.sub(r"[^A-Za-z0-9._=,-]", "_",
+                                    os.path.basename(ckpt_path)) + ".state"
+                ckpt.save_state(os.path.join(ckp_root, state_path), params,
+                                opt_state, epoch_idx, key,
+                                self.best_valid_score, cur_step,
+                                self.train_loss_dict)
 
             if (epoch_idx + 1) % self.eval_step == 0:
                 t_eval = time.time()
@@ -491,15 +522,15 @@ class Trainer:
     # ------------------------------------------------------------ checkpoint
     @staticmethod
     def _save_checkpoint(params, path):
-        host = jax.tree.map(np.asarray, params)
-        with open(path, "wb") as f:
-            pickle.dump(host, f)
+        from foodrec_tpu.engine import checkpoint as ckpt
+
+        ckpt.save_best(params, path)
 
     @staticmethod
     def load_checkpoint(path):
-        with open(path, "rb") as f:
-            host = pickle.load(f)
-        return jax.tree.map(jnp.asarray, host)
+        from foodrec_tpu.engine import checkpoint as ckpt
+
+        return ckpt.load_best(path)
 
 
 def get_trainer():

@@ -34,6 +34,9 @@ class NormalizedAdjacency:
     ell_cols: np.ndarray  # int32 [n_nodes, max_deg] or None
     ell_vals: np.ndarray  # float32 [n_nodes, max_deg] or None
     max_degree: int
+    # True when A == A^T (symmetric normalization over a symmetrized edge
+    # set) — lets the SpMM's custom VJP reuse the same tables backward
+    symmetric: bool = False
 
     @property
     def nnz(self):
@@ -76,7 +79,7 @@ def _to_ell(rows, cols, vals, n_nodes, max_degree=None):
 ELL_DEGREE_CAP = 96  # above this, the padded table wastes HBM on power-law rows
 
 
-def _build(rows, cols, vals, n_nodes):
+def _build(rows, cols, vals, n_nodes, symmetric=False):
     rows, cols, vals = _to_sorted_coo(
         rows.astype(np.int64), cols.astype(np.int64), vals.astype(np.float32))
     md = int(np.bincount(rows, minlength=n_nodes).max()) if len(rows) else 1
@@ -88,7 +91,16 @@ def _build(rows, cols, vals, n_nodes):
         n_nodes=n_nodes,
         rows=rows.astype(np.int32), cols=cols.astype(np.int32),
         vals=vals.astype(np.float32),
-        ell_cols=ell_cols, ell_vals=ell_vals, max_degree=md)
+        ell_cols=ell_cols, ell_vals=ell_vals, max_degree=md,
+        symmetric=symmetric)
+
+
+def transpose_adjacency(adj):
+    """A^T as its own row-sorted/ELL NormalizedAdjacency (for the SpMM
+    custom-VJP backward of non-symmetric adjacencies)."""
+    if adj.symmetric:
+        return adj
+    return _build(adj.cols, adj.rows, adj.vals, adj.n_nodes)
 
 
 def sym_normalized_adjacency(rows, cols, n_nodes, symmetrize=True):
@@ -101,7 +113,8 @@ def sym_normalized_adjacency(rows, cols, n_nodes, symmetrize=True):
     deg = np.bincount(rows, minlength=n_nodes).astype(np.float64)
     d = np.power(deg + 1e-7, -0.5)
     vals = d[rows] * d[cols]
-    return _build(rows, cols, vals, n_nodes)
+    # symmetrized edge set + symmetric values -> A == A^T
+    return _build(rows, cols, vals, n_nodes, symmetric=symmetrize)
 
 
 def row_normalized_adjacency(rows, cols, n_nodes, symmetrize=True):

