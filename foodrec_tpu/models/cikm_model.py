@@ -187,11 +187,15 @@ class CIKM_Model(GeneralRecommender):
         item_mm, _ = target_attention_apply(
             params["ingre_target_atten"], encoded, mm_query, self.nhead)
 
-        # pads included in the sum, true count in the divisor (cikm:248-249)
-        item_know = jnp.sum(_normalize(item_mm), axis=1) / ingre_num[:, None]
+        # pads included in the sum, true count in the divisor (cikm:248-249).
+        # NB: torch F.normalize defaults to dim=1 — on these 3-D tensors that
+        # is the *position* axis, not features (cikm_model.py:248, 251)
+        item_know = (jnp.sum(_normalize(item_mm, axis=1), axis=1)
+                     / ingre_num[:, None])
 
         health_pred = jax.nn.sigmoid(mlp_2layer_apply(
-            params["health_mlp"], jnp.mean(_normalize(item_health), axis=1)))
+            params["health_mlp"],
+            jnp.mean(_normalize(item_health, axis=1), axis=1)))
         bce = -(health_level * jnp.clip(jnp.log(health_pred), -100.0)
                 + (1 - health_level) * jnp.clip(jnp.log1p(-health_pred), -100.0))
         if w2 is not None:
