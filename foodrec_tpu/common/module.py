@@ -236,6 +236,47 @@ def bert_encoder_apply(params, x, attn_mask, nhead, act="gelu",
     return x
 
 
+# ---------------------------------------------------------------------------
+# generic MLP stack (reference: FoodRec/common/module.py:197-263)
+# ---------------------------------------------------------------------------
+
+
+def mlp_layers_params(key, layers, init_method=None):
+    """[Dropout, Linear, ReLU] per (in, out) pair. init_method='norm' ->
+    N(0, 0.01) weights / zero bias (module.py:246-252); default keeps torch
+    Linear init."""
+    from foodrec_tpu.common.init import kaiming_uniform_linear
+
+    params = []
+    for d_in, d_out in zip(layers[:-1], layers[1:]):
+        kw, kb, key = jax.random.split(key, 3)
+        if init_method == "norm":
+            w = 0.01 * jax.random.normal(kw, (d_out, d_in))
+            b = jnp.zeros((d_out,))
+        else:
+            w = kaiming_uniform_linear(kw, (d_out, d_in))
+            bound = 1.0 / jnp.sqrt(d_in)
+            b = jax.random.uniform(kb, (d_out,), minval=-bound, maxval=bound)
+        params.append({"w": w.T, "b": b})
+    return params
+
+
+def mlp_layers_apply(params, x, drop_rate=0.0, activation="relu",
+                     last_activation=True, key=None, deterministic=True):
+    act = {"relu": jax.nn.relu, "sigmoid": jax.nn.sigmoid,
+           "tanh": jnp.tanh, "leakyrelu": jax.nn.leaky_relu,
+           "none": lambda v: v}[activation or "none"]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    for i, p in enumerate(params):
+        key, k = jax.random.split(key)
+        x = dropout(k, x, drop_rate, deterministic)
+        x = x @ p["w"] + p["b"]
+        if last_activation or i < len(params) - 1:
+            x = act(x)
+    return x
+
+
 def mlp_2layer_params(key, d_in, d_hidden, d_out):
     """nn.Sequential(Linear, ReLU, Linear) re-initialized to
     xavier_uniform/zero-bias by the model's apply pass."""
