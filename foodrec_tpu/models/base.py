@@ -69,6 +69,31 @@ class GeneralRecommender:
         user_emb, item_emb = cache[:2]
         return jnp.einsum("bd,bcd->bc", user_emb[users], item_emb[cand])
 
+    # -- sharding -------------------------------------------------------------
+    def param_shardings(self, mesh, params):
+        """NamedSharding per param for a mesh with optional 'model' axis.
+
+        Default policy: replicate everything; shard the large modality
+        feature tables (image/text embeddings, dim >= 512) row-wise over
+        'model' — they dominate memory (n_items x 2048 floats) and their
+        per-step gradient is a batch-row scatter that parallelizes cleanly.
+        """
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        has_model = "model" in mesh.shape and mesh.shape["model"] > 1
+
+        def rule(path, leaf):
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            if (has_model and leaf.ndim == 2 and leaf.shape[1] >= 512
+                    and leaf.shape[0] % mesh.shape["model"] == 0
+                    and "embedding" in name):
+                return NamedSharding(mesh, P("model", None))
+            return rep
+
+        return jax.tree_util.tree_map_with_path(rule, params)
+
     # -- conveniences --------------------------------------------------------
     def pre_epoch_processing(self, params):
         return params

@@ -11,11 +11,17 @@ import random
 import numpy as np
 
 
-def enable_compilation_cache(path="/tmp/jax_cache"):
+def enable_compilation_cache(path=None):
     """Persistent XLA compilation cache — first compiles through the TPU
-    tunnel are slow (minutes at Foodcom scale); cache them across runs."""
+    tunnel are slow (minutes at Foodcom scale); cache them across runs.
+    Default location lives in the repo so every entry point (runner, bench,
+    driver) shares one cache."""
+    import os
+
     import jax
 
+    if path is None:
+        path = os.environ.get("FOODREC_JAX_CACHE", "/root/repo/.jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
