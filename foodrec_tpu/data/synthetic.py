@@ -23,14 +23,24 @@ MAX_INGRE_LEN = 20
 def generate(root, n_users=24, n_items=60, n_ingredients=12, n_cal_levels=4,
              n_health_levels=6, n_clusters=5, img_dim=16, txt_dim=8,
              neg_num=20, seed=0, train_per_user=(2, 6), valid_per_user=(0, 3),
-             test_per_user=(1, 3)):
+             test_per_user=(1, 3), latent_dim=0):
     """Write a full synthetic dataset under `root/processed_dataset/`.
 
     Scale knobs (`n_users=7596, n_items=29943, n_ingredients=4963,
     img_dim=2048, txt_dim=512, neg_num=500, train_per_user=(20, 31)`)
     reproduce the Foodcom footprint from BASELINE.md for benchmarking.
+
+    `latent_dim > 0` plants a learnable signal: users/items get latent
+    factors, each user's positives are their highest-scoring items among a
+    random candidate pool, and the image/text features are noisy linear
+    images of the item factors — so CF models reach AUC >> 0.5 and accuracy
+    parity between frameworks becomes measurable.
     """
     rng = np.random.default_rng(seed)
+    z_u = z_i = None
+    if latent_dim:
+        z_u = rng.normal(size=(n_users, latent_dim)) / np.sqrt(latent_dim)
+        z_i = rng.normal(size=(n_items, latent_dim)) / np.sqrt(latent_dim)
     base = os.path.join(root, "processed_dataset")
     graph_dir = os.path.join(base, "graph_edge")
     cluster_dir = os.path.join(base, "cluster")
@@ -45,7 +55,16 @@ def generate(root, n_users=24, n_items=60, n_ingredients=12, n_cal_levels=4,
         n_va = (int(rng.integers(*valid_per_user))
                 if (valid_per_user[1] > 1 and rng.random() < 0.8) else 0)
         n_te = int(rng.integers(*test_per_user))
-        items = rng.choice(n_items, size=n_tr + n_va + n_te, replace=False)
+        k = n_tr + n_va + n_te
+        if z_u is not None:
+            # positives = the user's top-k items from a random candidate pool
+            pool = rng.choice(n_items, size=min(8 * k, n_items),
+                              replace=False)
+            scores = z_i[pool] @ z_u[u]
+            items = pool[np.argsort(scores)[::-1][:k]]
+            items = rng.permutation(items)
+        else:
+            items = rng.choice(n_items, size=k, replace=False)
         tr, va, te = items[:n_tr], items[n_tr:n_tr + n_va], items[n_tr + n_va:]
         user_pos[u] = set(items.tolist())
         train_rows += [(u, int(i)) for i in sorted(tr)]
@@ -84,10 +103,18 @@ def generate(root, n_users=24, n_items=60, n_ingredients=12, n_cal_levels=4,
             f.write(f"(u:{u})\t{negs}\n")
 
     # --- modality features ---------------------------------------------------
+    if z_i is not None:
+        img = (z_i @ rng.normal(size=(z_i.shape[1], img_dim))
+               + 0.5 * rng.normal(size=(n_items, img_dim)))
+        txt = (z_i @ rng.normal(size=(z_i.shape[1], txt_dim))
+               + 0.5 * rng.normal(size=(n_items, txt_dim)))
+    else:
+        img = rng.normal(size=(n_items, img_dim))
+        txt = rng.normal(size=(n_items, txt_dim))
     np.save(os.path.join(base, "data_image_features_float.npy"),
-            rng.normal(size=(n_items, img_dim)).astype(np.float32))
+            img.astype(np.float32))
     np.save(os.path.join(base, "data_text_features_t5.npy"),
-            rng.normal(size=(n_items, txt_dim)).astype(np.float32))
+            txt.astype(np.float32))
 
     # --- ingredients ----------------------------------------------------------
     ingre_codes = np.full((n_items, MAX_INGRE_LEN), n_ingredients, dtype=np.int64)

@@ -230,6 +230,10 @@ class Trainer:
                 params, opt_state, parts = chunk_fn(
                     params, opt_state, perm, k_steps, jnp.int32(c))
                 loss_parts = parts if loss_parts is None else loss_parts + parts
+                # chunk-granular NaN abort (the reference aborts mid-epoch at
+                # batch granularity, trainer.py:191-193)
+                if n_chunks > 1 and not np.isfinite(np.asarray(parts)).all():
+                    break
             return params, opt_state, loss_parts
 
         return epoch_fn
