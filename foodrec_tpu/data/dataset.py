@@ -52,8 +52,16 @@ def _group_by_consecutive_user(users, items):
     return lists, user_ids
 
 
-def _read_negative_file(path):
-    """Parse a .negative file: each row "(u:[pos..])\tn1\t...\tnK" -> list of int lists."""
+def _read_negative_file(path, n_neg=None):
+    """Parse a .negative file: each row "(u:[pos..])\tn1\t...\tnK" -> list of
+    int lists. Uses the native C++ parser when the row width is known and
+    regular (foodrec_tpu/native/fastload.cpp), else pure python."""
+    if n_neg:
+        from foodrec_tpu import native
+
+        arr = native.parse_negatives(path, n_neg)
+        if arr is not None:
+            return arr.tolist()
     negatives = []
     with open(path, "r") as f:
         for line in f:
@@ -91,12 +99,15 @@ class InteractionData:
         for lst, uid in zip(*_group_by_consecutive_user(tr_u, tr_i)):
             self.trainList[uid].extend(lst)
 
+        n_neg = config["neg_sample_num"]
         self.testRatings, _ = _group_by_consecutive_user(te_u, te_i)
-        self.testNegatives = _read_negative_file(interaction_path + "data.test.negative")
+        self.testNegatives = _read_negative_file(
+            interaction_path + "data.test.negative", n_neg)
         assert len(self.testRatings) == len(self.testNegatives)
 
         self.validRatings, self.valid_users = _group_by_consecutive_user(va_u, va_i)
-        self.validNegatives = _read_negative_file(interaction_path + "data.valid.negative")
+        self.validNegatives = _read_negative_file(
+            interaction_path + "data.valid.negative", n_neg)
         assert len(self.validRatings) == len(self.validNegatives)
 
         # valid ∪ test positives per user, for negative-sampling exclusion
@@ -117,9 +128,13 @@ class InteractionData:
         (self.train_user_dict, self.valid_user_dict,
          self.test_user_dict) = self._generate_user_dict()
 
-        self.embImage = np.load(interaction_path + "data_image_features_float.npy")
+        # mmap: the 2048-d image table is ~245MB at Foodcom scale; defer the
+        # read to the single device_put instead of an extra host copy
+        self.embImage = np.load(
+            interaction_path + "data_image_features_float.npy", mmap_mode="r")
         self.image_size = self.embImage.shape[1]
-        self.embText = np.load(ingre_path + "data_text_features_t5.npy")
+        self.embText = np.load(ingre_path + "data_text_features_t5.npy",
+                               mmap_mode="r")
         self.text_size = self.embText.shape[1]
 
         self.ingredientNum = self._load_ingredient_num(

@@ -53,7 +53,25 @@ class EvalSet:
 
 
 def build_eval_set(users, ratings, negatives, pad_multiple=128):
-    """Build a padded EvalSet from per-user positive/negative lists."""
+    """Build a padded EvalSet from per-user positive/negative lists.
+
+    Uses the native assembler (foodrec_tpu/native/fastload.cpp) when the
+    negative lists are rectangular; falls back to the python path."""
+    neg_lens = {len(n) for n in negatives}
+    if len(neg_lens) == 1 and len(negatives):
+        from foodrec_tpu import native
+
+        k = neg_lens.pop()
+        max_pos = max((len(p) for p in ratings), default=0)
+        width = _round_up(max_pos + k, pad_multiple)
+        out = native.build_eval_set_arrays(
+            [list(p) for p in ratings],
+            np.asarray(negatives, dtype=np.int32), width)
+        if out is not None:
+            cand, n_pos, n_cand = out
+            return EvalSet(users=np.asarray(users, dtype=np.int32),
+                           cand=cand, n_pos=n_pos, n_cand=n_cand)
+
     cand_lists, n_pos = [], []
     for pos_list, neg_list in zip(ratings, negatives):
         pos = list(pos_list)
@@ -80,6 +98,11 @@ def build_eval_set(users, ratings, negatives, pad_multiple=128):
 
 
 def _pack_bitmap(pairs_u, pairs_i, n_users, n_items):
+    from foodrec_tpu import native
+
+    out = native.pack_bitmap(pairs_u, pairs_i, n_users, n_items)
+    if out is not None:
+        return out
     words = _round_up(n_items, 32) // 32
     bitmap = np.zeros((n_users, words), dtype=np.uint32)
     np.bitwise_or.at(bitmap, (pairs_u, pairs_i >> 5),
