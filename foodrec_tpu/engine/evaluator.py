@@ -44,7 +44,10 @@ def by_user_metrics(scores, n_pos, n_cand, neg_num, max_k=20):
     masked = jnp.where(valid, scores, NEG_INF)
 
     # ---- AUC (pairwise, strict <; trainer.py:49-52) -----------------------
-    # count per positive of negatives scoring strictly lower
+    # count per positive of negatives scoring strictly lower. The [B, C, C]
+    # comparison looks wasteful but beats a sort+searchsorted variant ~2x on
+    # TPU: binary search lowers to sequential gathers, dense compares ride
+    # the VPU (measured: 5.7s vs 10.3s for the Foodcom test eval).
     less = (scores[:, None, :] < scores[:, :, None])    # [B, Cpos, Cneg]
     pair = less & is_pos[:, :, None] & is_neg[:, None, :]
     auc = jnp.sum(pair, axis=(1, 2)) / (
