@@ -17,6 +17,7 @@ vs_baseline = reference_cpu_epoch_s / ours  (>1 means faster than the
 
 import json
 import os
+import sys
 import time
 
 BENCH_ROOT = os.environ.get("FOODREC_BENCH_ROOT", "/tmp/foodrec_bench")
@@ -40,7 +41,7 @@ def ensure_dataset():
     if not os.path.isfile(marker):
         t0 = time.time()
         synthetic.generate(root, **FOODCOM_SCALE)
-        print(f"# generated {DATASET} in {time.time() - t0:.1f}s")
+        print(f"# generated {DATASET} in {time.time() - t0:.1f}s", file=sys.stderr)
     return BENCH_ROOT + "/"
 
 
@@ -63,11 +64,11 @@ def main():
     derive_data_paths(cfg, DATASET)
     data = FoodData(cfg)
     data.device_data = DeviceData.from_food_data(data, cfg)
-    print(f"# load: {time.time() - t0:.1f}s", flush=True)
+    print(f"# load: {time.time() - t0:.1f}s", flush=True, file=sys.stderr)
     t0 = time.time()
     model = get_model("CIKM_Model")(cfg, data)
     trainer = Trainer(cfg, model)
-    print(f"# build: {time.time() - t0:.1f}s", flush=True)
+    print(f"# build: {time.time() - t0:.1f}s", flush=True, file=sys.stderr)
 
     import jax
 
@@ -80,7 +81,7 @@ def main():
     key, k = jax.random.split(key)
     params, opt_state, parts = trainer._epoch_fn(params, opt_state, k)
     jax.block_until_ready(parts)
-    print(f"# warmup epoch (compile): {time.time() - t0:.1f}s", flush=True)
+    print(f"# warmup epoch (compile): {time.time() - t0:.1f}s", flush=True, file=sys.stderr)
 
     times = []
     for _ in range(N_TIMED_EPOCHS):
@@ -89,18 +90,18 @@ def main():
         params, opt_state, parts = trainer._epoch_fn(params, opt_state, k)
         jax.block_until_ready(parts)
         times.append(time.time() - t0)
-        print(f"# epoch: {times[-1]:.2f}s", flush=True)
+        print(f"# epoch: {times[-1]:.2f}s", flush=True, file=sys.stderr)
     times.sort()
     epoch_s = times[len(times) // 2]
 
     # eval throughput (extra context, not the headline metric)
     t0 = time.time()
     trainer._valid(params, data.device_data.eval_valid)  # compile on valid
-    print(f"# eval compile+valid: {time.time() - t0:.1f}s", flush=True)
+    print(f"# eval compile+valid: {time.time() - t0:.1f}s", flush=True, file=sys.stderr)
     t0 = time.time()
     _, metrics = trainer._valid(params, data.device_data.eval_test)
     eval_users_per_s = data.device_data.eval_test.n_users / (time.time() - t0)
-    print(f"# eval test: {time.time() - t0:.1f}s", flush=True)
+    print(f"# eval test: {time.time() - t0:.1f}s", flush=True, file=sys.stderr)
 
     vs_baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

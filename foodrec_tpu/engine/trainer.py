@@ -111,13 +111,38 @@ class Trainer:
         self._train_u = jnp.asarray(dd.train_u)
         self._train_i = jnp.asarray(dd.train_i)
         self._excl = jnp.asarray(dd.excl_bitmap)
-        self._epoch_fn = self._build_epoch_fn()
-        self._cache_fn = jax.jit(model.eval_cache)
-        self._score_fn = jax.jit(model.score_from_cache)
+        # large constants are threaded through jit as ARGUMENTS — closure
+        # capture would inline them into the HLO as dense literals (see
+        # models/base.py bind())
+        self._buffers = model.buffers
+        self._epoch_fn_inner = self._build_epoch_fn()
+        self._cache_fn_inner = jax.jit(self._bound(model.eval_cache))
+        self._score_fn_inner = jax.jit(self._bound(model.score_from_cache))
 
         self.best_valid_score = -1.0
         self.best_valid_result = None
         self.train_loss_dict = {}
+
+    def _bound(self, fn):
+        """Wrap `fn` so registered model buffers arrive as the first jit
+        argument and are re-bound during tracing."""
+        model = self.model
+
+        def wrapped(buffers, *args):
+            with model.bind(buffers):
+                return fn(*args)
+
+        return wrapped
+
+    def _epoch_fn(self, params, opt_state, key):
+        return self._epoch_fn_inner(params, opt_state, key, self._buffers,
+                                    self._train_u, self._train_i, self._excl)
+
+    def _cache_fn(self, params):
+        return self._cache_fn_inner(self._buffers, params)
+
+    def _score_fn(self, params, cache, users, cand):
+        return self._score_fn_inner(self._buffers, params, cache, users, cand)
 
     # ------------------------------------------------------------------ train
     def _build_epoch_fn(self):
@@ -150,7 +175,6 @@ class Trainer:
             return params, opt_state
 
         n_tries = self.config["neg_sample_tries"] or 32
-        train_u, train_i, excl = self._train_u, self._train_i, self._excl
         num_items = model.dd.num_items
         # chunk the per-epoch scan: K steps per jit call, host loop over
         # chunks (bounds compile-unit size; semantics identical because
@@ -160,7 +184,7 @@ class Trainer:
         n_chunks = -(-n_batches // chunk)
 
         def train_step(carry, batch_idx):
-            params, opt_state, perm, k_steps = carry
+            params, opt_state, perm, k_steps, train_u, train_i, excl = carry
             key = jax.random.fold_in(k_steps, batch_idx)
             start = batch_idx * bs
             idx = jax.lax.dynamic_slice_in_dim(perm, start, bs)
@@ -207,7 +231,8 @@ class Trainer:
             opt_state = jax.tree.map(
                 lambda new, old: jnp.where(live, new, old), new_opt, opt_state)
             parts = jnp.where(live, parts, jnp.zeros_like(parts))
-            return (params, opt_state, perm, k_steps), parts
+            return (params, opt_state, perm, k_steps,
+                    train_u, train_i, excl), parts
 
         @jax.jit
         def perm_fn(key):
@@ -216,19 +241,24 @@ class Trainer:
             return jnp.concatenate([perm, perm[:pad]]).astype(jnp.int32)
 
         @jax.jit
-        def chunk_fn(params, opt_state, perm, k_steps, chunk_idx):
-            (params, opt_state, _, _), parts = jax.lax.scan(
-                train_step, (params, opt_state, perm, k_steps),
-                chunk_idx * chunk + jnp.arange(chunk))
+        def chunk_fn(params, opt_state, perm, k_steps, chunk_idx, buffers,
+                     train_u, train_i, excl):
+            with model.bind(buffers):
+                (params, opt_state, *_), parts = jax.lax.scan(
+                    train_step,
+                    (params, opt_state, perm, k_steps, train_u, train_i,
+                     excl),
+                    chunk_idx * chunk + jnp.arange(chunk))
             return params, opt_state, jnp.sum(parts, axis=0)
 
-        def epoch_fn(params, opt_state, key):
+        def epoch_fn(params, opt_state, key, buffers, train_u, train_i, excl):
             k_perm, k_steps = jax.random.split(key)
             perm = perm_fn(k_perm)
             loss_parts = None
             for c in range(n_chunks):
                 params, opt_state, parts = chunk_fn(
-                    params, opt_state, perm, k_steps, jnp.int32(c))
+                    params, opt_state, perm, k_steps, jnp.int32(c), buffers,
+                    train_u, train_i, excl)
                 loss_parts = parts if loss_parts is None else loss_parts + parts
                 # chunk-granular NaN abort (the reference aborts mid-epoch at
                 # batch granularity, trainer.py:191-193)

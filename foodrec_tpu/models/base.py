@@ -23,6 +23,8 @@ side features (image/text/ingredients/levels) from device tables — the
 reference pre-gathers them per-sample on host (dataloader.py:30-38).
 """
 
+import contextlib
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,13 +37,72 @@ class GeneralRecommender:
         self.n_users = dataset.n_users
         self.n_items = dataset.n_items
         self.embedding_size = config["embedding_size"]
+        self._buffers = {}
 
         # modality features (abstract_recommender.py:84-91)
         self.v_feat = None
         self.t_feat = None
         if config["is_multimodal_model"] and not config["end2end"]:
-            self.v_feat = jnp.asarray(self.dd.img, dtype=jnp.float32)
-            self.t_feat = jnp.asarray(self.dd.txt, dtype=jnp.float32)
+            self.v_feat = self.register_buffer(
+                "v_feat", jnp.asarray(self.dd.img, dtype=jnp.float32))
+            self.t_feat = self.register_buffer(
+                "t_feat", jnp.asarray(self.dd.txt, dtype=jnp.float32))
+
+    # -- constant buffers ------------------------------------------------------
+    # JAX inlines device arrays captured by closure into the HLO as dense
+    # literals, so every compile would ship the graph tables / feature
+    # matrices / bitmaps in the program payload (hundreds of MB at Foodcom+
+    # scale; the tunnel compiler rejects them outright at Allrecipes scale).
+    # Models therefore *register* every large constant; the trainer passes
+    # `model.buffers` through jit as an argument and re-binds the tracers
+    # during tracing via `bind()`, keeping the compiled program free of
+    # literals while model code keeps reading plain attributes.
+
+    def register_buffer(self, name, value):
+        self._buffers[name] = value
+        setattr(self, name, value)
+        return value
+
+    def register_propagator(self, name, prop):
+        self._buffers[name] = prop
+        setattr(self, name, prop)
+        return prop
+
+    @property
+    def buffers(self):
+        """Pytree of all registered constants (propagators contribute their
+        edge-array state)."""
+        from foodrec_tpu.ops.spmm import Propagator
+
+        out = {}
+        for n, v in self._buffers.items():
+            out[n] = v.state if isinstance(v, Propagator) else v
+        return out
+
+    @contextlib.contextmanager
+    def bind(self, buffers):
+        """Temporarily swap registered constants for `buffers` (typically
+        jit tracers) while tracing a computation."""
+        from foodrec_tpu.ops.spmm import Propagator
+
+        saved = {}
+        for n, v in buffers.items():
+            target = self._buffers[n]
+            if isinstance(target, Propagator):
+                saved[n] = target.state
+                target.bind_state(v)
+            else:
+                saved[n] = getattr(self, n)
+                setattr(self, n, v)
+        try:
+            yield
+        finally:
+            for n, v in saved.items():
+                target = self._buffers[n]
+                if isinstance(target, Propagator):
+                    target.bind_state(v)
+                else:
+                    setattr(self, n, v)
 
     # -- contract ------------------------------------------------------------
     def init_params(self, key):

@@ -96,22 +96,27 @@ class CIKM_Model(GeneralRecommender):
         rows, cols = ui_bipartite_edges(dataset.train_coo_matrix, self.n_users)
         ui_adj = sym_normalized_adjacency(rows, cols,
                                           self.n_users + self.n_items)
-        self.ui_prop = Propagator(ui_adj, impl=config["spmm_impl"] or "auto")
+        self.ui_prop = self.register_propagator(
+            "ui_prop", Propagator(ui_adj, impl=config["spmm_impl"] or "auto"))
 
         # recipe–ingredient graph over items+ingredients (cikm_model.py:91-134)
         ri_rows, ri_cols = bipartite_offset_edges(
             dataset.rIngre_triples, offset_head=0, offset_tail=self.n_items)
         ri_adj = sym_normalized_adjacency(
             ri_rows, ri_cols, self.n_items + self.n_ingredients)
-        self.ri_prop = Propagator(ri_adj, impl=config["spmm_impl"] or "auto")
+        self.ri_prop = self.register_propagator(
+            "ri_prop", Propagator(ri_adj, impl=config["spmm_impl"] or "auto"))
 
         dd = self.dd
-        self.ingre_codes = jnp.asarray(dd.ingre_codes)      # [n_items, 20]
-        self.ingre_num = jnp.asarray(dd.ingre_num)          # [n_items]
+        self.ingre_codes = self.register_buffer(
+            "ingre_codes", jnp.asarray(dd.ingre_codes))    # [n_items, 20]
+        self.ingre_num = self.register_buffer(
+            "ingre_num", jnp.asarray(dd.ingre_num))        # [n_items]
         mh = dd.health_mh
         if mh is None:
             mh = np.zeros((self.n_items, self.n_health_level), np.float32)
-        self.health_mh = jnp.asarray(mh)                    # [n_items, H]
+        self.health_mh = self.register_buffer(
+            "health_mh", jnp.asarray(mh))                  # [n_items, H]
 
     def init_params(self, key):
         d = self.embedding_size

@@ -44,12 +44,15 @@ class FGCN(GeneralRecommender):
 
         # (recipe+n_users, user) / (ingre+n_items, recipe) / (t, h) edge sets,
         # symmetrized + row-normalized (fgcn.py:108-147, 84-106)
-        self.ru_prop = Propagator(row_normalized_adjacency(
-            ur[:, 1] + nu, ur[:, 0], nu + ni), impl=impl)
-        self.ir_prop = Propagator(row_normalized_adjacency(
-            ri[:, 1] + ni, ri[:, 0], ni + ng), impl=impl)
-        self.ii_prop = Propagator(row_normalized_adjacency(
-            ii[:, 1], ii[:, 0], ng), impl=impl)
+        self.ru_prop = self.register_propagator(
+            "ru_prop", Propagator(row_normalized_adjacency(
+                ur[:, 1] + nu, ur[:, 0], nu + ni), impl=impl))
+        self.ir_prop = self.register_propagator(
+            "ir_prop", Propagator(row_normalized_adjacency(
+                ri[:, 1] + ni, ri[:, 0], ni + ng), impl=impl))
+        self.ii_prop = self.register_propagator(
+            "ii_prop", Propagator(row_normalized_adjacency(
+                ii[:, 1], ii[:, 0], ng), impl=impl))
 
     def init_params(self, key):
         d = self.embedding_size

@@ -34,12 +34,13 @@ class LightGCN(GeneralRecommender):
 
         rows, cols = ui_bipartite_edges(dataset.train_coo_matrix, self.n_users)
         adj = sym_normalized_adjacency(rows, cols, self.n_users + self.n_items)
-        self.prop = Propagator(adj, impl=config["spmm_impl"] or "auto")
+        self.prop = self.register_propagator(
+            "prop", Propagator(adj, impl=config["spmm_impl"] or "auto"))
 
         if self.flagD == 0:
-            self.feat = self.v_feat
+            self.feat = self.register_buffer("feat", self.v_feat)
         elif self.flagD == 1:
-            self.feat = self.t_feat
+            self.feat = self.register_buffer("feat", self.t_feat)
         elif self.flagD == 2:
             # mean of ingredient one-hots is modeled as the padded code matrix;
             # project the mean-pooled ingredient id embedding at runtime

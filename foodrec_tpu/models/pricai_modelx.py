@@ -55,8 +55,9 @@ class PRICAI_ModelX(GeneralRecommender):
 
         impl = config["spmm_impl"] or "auto"
         rows, cols = ui_bipartite_edges(dataset.train_coo_matrix, self.n_users)
-        self.ui_prop = Propagator(sym_normalized_adjacency(
-            rows, cols, self.n_users + self.n_items), impl=impl)
+        self.ui_prop = self.register_propagator(
+            "ui_prop", Propagator(sym_normalized_adjacency(
+                rows, cols, self.n_users + self.n_items), impl=impl))
 
         def cluster_prop(triples, n_extra):
             t = np.asarray(triples, dtype=np.int64)
@@ -65,12 +66,15 @@ class PRICAI_ModelX(GeneralRecommender):
             return Propagator(sym_normalized_adjacency(
                 r, c, self.n_items + n_extra), impl=impl)
 
-        self.ingre_prop = cluster_prop(dataset.rIngre_triples,
-                                       self.n_ingredients)
-        self.image_prop = cluster_prop(dataset.image_cluster_triples,
-                                       self.n_cluster)
-        self.text_prop = cluster_prop(dataset.text_cluster_triples,
-                                      self.n_cluster)
+        self.ingre_prop = self.register_propagator(
+            "ingre_prop", cluster_prop(dataset.rIngre_triples,
+                                        self.n_ingredients))
+        self.image_prop = self.register_propagator(
+            "image_prop", cluster_prop(dataset.image_cluster_triples,
+                                        self.n_cluster))
+        self.text_prop = self.register_propagator(
+            "text_prop", cluster_prop(dataset.text_cluster_triples,
+                                       self.n_cluster))
 
         self.v_center = self.t_center = None
         if config["use_center_embedding"]:

@@ -92,17 +92,20 @@ class SCHGN(GeneralRecommender):
                               rc[:, 1] + nu + ni + ng])  # cal -> item
         dst = np.concatenate([ur[:, 0], ri[:, 0] + nu, rc[:, 0] + nu])
         n_nodes = nu + ni + ng + self.n_health
-        self.gcn_prop = Propagator(gcn_conv_adjacency(src, dst, n_nodes),
-                                   impl=config["spmm_impl"] or "auto")
+        self.gcn_prop = self.register_propagator(
+            "gcn_prop", Propagator(gcn_conv_adjacency(src, dst, n_nodes),
+                                    impl=config["spmm_impl"] or "auto"))
 
         dd = self.dd
-        self.img = jnp.asarray(dd.img)
-        self.ingre_codes = jnp.asarray(dd.ingre_codes)
-        self.ingre_num = jnp.asarray(dd.ingre_num)
+        self.img = self.register_buffer("img", jnp.asarray(dd.img))
+        self.ingre_codes = self.register_buffer(
+            "ingre_codes", jnp.asarray(dd.ingre_codes))
+        self.ingre_num = self.register_buffer(
+            "ingre_num", jnp.asarray(dd.ingre_num))
         cal = dd.cal_level
         if cal is None:
             cal = np.zeros(self.n_items, np.int32)
-        self.cal_level = jnp.asarray(cal)
+        self.cal_level = self.register_buffer("cal_level", jnp.asarray(cal))
 
     def init_params(self, key):
         d = self.embedding_size

@@ -146,8 +146,12 @@ def _spmm_pallas_call(local_rows, starts, nblocks, xg, n_rows, max_blocks):
 class Propagator:
     """y = A @ x with a chosen implementation.
 
-    Construct once per graph on the host; `__call__` is jit-friendly (all
-    shapes static, arrays are closed-over device constants).
+    Construct once per graph on the host. The edge arrays live in `self.st`
+    (a dict pytree) so callers can thread them through jit as *arguments*:
+    JAX inlines closed-over device arrays into the HLO as dense literals,
+    which at Foodcom/Allrecipes scale blew compile payloads past the remote
+    compiler's limits — see models/base.py bind(). `__call__` reads whatever
+    is currently bound in `self.st` at trace time.
 
     Differentiation: XLA's autodiff of the gather-based forward emits a
     1M+-row scatter-add, which is the slowest op on TPU. `__call__` therefore
@@ -200,38 +204,55 @@ class Propagator:
             self._apply = self._raw
 
         if impl == "ell":
-            self.ell_cols = jnp.asarray(adj.ell_cols)
-            self.ell_vals = jnp.asarray(adj.ell_vals)
+            self.st = {"ell_cols": jnp.asarray(adj.ell_cols),
+                       "ell_vals": jnp.asarray(adj.ell_vals)}
         elif impl == "segment":
-            self.rows = jnp.asarray(adj.rows)
-            self.cols = jnp.asarray(adj.cols)
-            self.vals = jnp.asarray(adj.vals)
+            self.st = {"rows": jnp.asarray(adj.rows),
+                       "cols": jnp.asarray(adj.cols),
+                       "vals": jnp.asarray(adj.vals)}
         elif impl == "pallas":
             perm, starts, nblocks = _panelize(adj.rows, adj.n_nodes)
             safe = np.maximum(perm, 0)
             cols_p = adj.cols[safe].astype(np.int64)
             vals_p = np.where(perm >= 0, adj.vals[safe], 0.0).astype(np.float32)
             lrows = np.where(perm >= 0, adj.rows[safe] % ROW_PANEL, -1)
-            self.cols_p = jnp.asarray(cols_p)
-            self.vals_p = jnp.asarray(vals_p)
-            self.local_rows = jnp.asarray(
-                lrows.astype(np.int32).reshape(-1, 1))
-            self.starts = jnp.asarray(starts)
-            self.nblocks = jnp.asarray(nblocks)
+            self.st = {
+                "cols_p": jnp.asarray(cols_p),
+                "vals_p": jnp.asarray(vals_p),
+                "local_rows": jnp.asarray(lrows.astype(np.int32).reshape(-1, 1)),
+                "starts": jnp.asarray(starts),
+                "nblocks": jnp.asarray(nblocks),
+            }
             self.max_blocks = int(nblocks.max())
         else:
             raise ValueError(f"unknown spmm impl: {impl}")
 
+    @property
+    def state(self):
+        """All device arrays, own + transpose: pass through jit and bind()."""
+        st = {"own": self.st}
+        if getattr(self, "_t_prop", None) is not None \
+                and self._t_prop is not self:
+            st["transpose"] = self._t_prop.st
+        return st
+
+    def bind_state(self, state):
+        self.st = state["own"]
+        if "transpose" in state:
+            self._t_prop.st = state["transpose"]
+
     def _raw(self, x):
+        st = self.st
         if self.impl == "ell":
-            return spmm_ell(self.ell_cols, self.ell_vals, x)
+            return spmm_ell(st["ell_cols"], st["ell_vals"], x)
         if self.impl == "segment":
-            return spmm_coo(self.rows, self.cols, self.vals, x, self.n_nodes)
+            return spmm_coo(st["rows"], st["cols"], st["vals"], x,
+                            self.n_nodes)
         # pallas: XLA fuses the gather+scale, the kernel does the reduction
-        xg = x[self.cols_p] * self.vals_p[:, None]
-        return _spmm_pallas_call(self.local_rows, self.starts, self.nblocks,
-                                 xg.astype(jnp.float32), self.n_nodes,
-                                 self.max_blocks)
+        xg = x[st["cols_p"]] * st["vals_p"][:, None]
+        return _spmm_pallas_call(st["local_rows"], st["starts"],
+                                 st["nblocks"], xg.astype(jnp.float32),
+                                 self.n_nodes, self.max_blocks)
 
     def __call__(self, x):
         return self._apply(x)
