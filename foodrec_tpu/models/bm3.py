@@ -64,7 +64,8 @@ class BM3(GeneralRecommender):
         rows, cols = ui_bipartite_edges(dataset.train_coo_matrix, self.n_users)
         adj = sym_normalized_adjacency(rows, cols, self.n_users + self.n_items)
         self.prop = self.register_propagator(
-            "prop", Propagator(adj, impl=config["spmm_impl"] or "auto"))
+            "prop", Propagator(adj, impl=config["spmm_impl"] or "auto",
+                       compute_dtype=config["spmm_dtype"]))
 
     def init_params(self, key):
         d = self.embedding_size

@@ -97,7 +97,8 @@ class CIKM_Model(GeneralRecommender):
         ui_adj = sym_normalized_adjacency(rows, cols,
                                           self.n_users + self.n_items)
         self.ui_prop = self.register_propagator(
-            "ui_prop", Propagator(ui_adj, impl=config["spmm_impl"] or "auto"))
+            "ui_prop", Propagator(ui_adj, impl=config["spmm_impl"] or "auto",
+                       compute_dtype=config["spmm_dtype"]))
 
         # recipe–ingredient graph over items+ingredients (cikm_model.py:91-134)
         ri_rows, ri_cols = bipartite_offset_edges(
@@ -105,7 +106,8 @@ class CIKM_Model(GeneralRecommender):
         ri_adj = sym_normalized_adjacency(
             ri_rows, ri_cols, self.n_items + self.n_ingredients)
         self.ri_prop = self.register_propagator(
-            "ri_prop", Propagator(ri_adj, impl=config["spmm_impl"] or "auto"))
+            "ri_prop", Propagator(ri_adj, impl=config["spmm_impl"] or "auto",
+                       compute_dtype=config["spmm_dtype"]))
 
         dd = self.dd
         self.ingre_codes = self.register_buffer(

@@ -36,6 +36,7 @@ class FGCN(GeneralRecommender):
         self.n_layers = config["n_layers"]
 
         impl = config["spmm_impl"] or "auto"
+        cdt = config["spmm_dtype"]
         nu, ni, ng = self.n_users, self.n_items, self.n_ingredients
 
         ur = np.asarray(dataset.uRecipe_triples, dtype=np.int64)
@@ -46,13 +47,13 @@ class FGCN(GeneralRecommender):
         # symmetrized + row-normalized (fgcn.py:108-147, 84-106)
         self.ru_prop = self.register_propagator(
             "ru_prop", Propagator(row_normalized_adjacency(
-                ur[:, 1] + nu, ur[:, 0], nu + ni), impl=impl))
+                ur[:, 1] + nu, ur[:, 0], nu + ni), impl=impl, compute_dtype=cdt))
         self.ir_prop = self.register_propagator(
             "ir_prop", Propagator(row_normalized_adjacency(
-                ri[:, 1] + ni, ri[:, 0], ni + ng), impl=impl))
+                ri[:, 1] + ni, ri[:, 0], ni + ng), impl=impl, compute_dtype=cdt))
         self.ii_prop = self.register_propagator(
             "ii_prop", Propagator(row_normalized_adjacency(
-                ii[:, 1], ii[:, 0], ng), impl=impl))
+                ii[:, 1], ii[:, 0], ng), impl=impl, compute_dtype=cdt))
 
     def init_params(self, key):
         d = self.embedding_size

@@ -35,7 +35,8 @@ class LightGCN(GeneralRecommender):
         rows, cols = ui_bipartite_edges(dataset.train_coo_matrix, self.n_users)
         adj = sym_normalized_adjacency(rows, cols, self.n_users + self.n_items)
         self.prop = self.register_propagator(
-            "prop", Propagator(adj, impl=config["spmm_impl"] or "auto"))
+            "prop", Propagator(adj, impl=config["spmm_impl"] or "auto",
+                       compute_dtype=config["spmm_dtype"]))
 
         if self.flagD == 0:
             self.feat = self.register_buffer("feat", self.v_feat)

@@ -54,17 +54,18 @@ class PRICAI_ModelX(GeneralRecommender):
         self.n_cluster = int(nc[0] if isinstance(nc, (list, tuple)) else nc)
 
         impl = config["spmm_impl"] or "auto"
+        cdt = config["spmm_dtype"]
         rows, cols = ui_bipartite_edges(dataset.train_coo_matrix, self.n_users)
         self.ui_prop = self.register_propagator(
             "ui_prop", Propagator(sym_normalized_adjacency(
-                rows, cols, self.n_users + self.n_items), impl=impl))
+                rows, cols, self.n_users + self.n_items), impl=impl, compute_dtype=cdt))
 
         def cluster_prop(triples, n_extra):
             t = np.asarray(triples, dtype=np.int64)
             r, c = bipartite_offset_edges(t, offset_head=0,
                                           offset_tail=self.n_items)
             return Propagator(sym_normalized_adjacency(
-                r, c, self.n_items + n_extra), impl=impl)
+                r, c, self.n_items + n_extra), impl=impl, compute_dtype=cdt)
 
         self.ingre_prop = self.register_propagator(
             "ingre_prop", cluster_prop(dataset.rIngre_triples,

@@ -94,7 +94,8 @@ class SCHGN(GeneralRecommender):
         n_nodes = nu + ni + ng + self.n_health
         self.gcn_prop = self.register_propagator(
             "gcn_prop", Propagator(gcn_conv_adjacency(src, dst, n_nodes),
-                                    impl=config["spmm_impl"] or "auto"))
+                                    impl=config["spmm_impl"] or "auto",
+                                    compute_dtype=config["spmm_dtype"]))
 
         dd = self.dd
         self.img = self.register_buffer("img", jnp.asarray(dd.img))

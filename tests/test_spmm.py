@@ -135,3 +135,15 @@ def test_custom_vjp_nonsymmetric(rng):
     g = jax.grad(lambda x: jnp.sum(prop(x) * w))(jnp.asarray(x))
     A = sp.coo_matrix((adj.vals, (adj.rows, adj.cols)), shape=(n, n)).toarray()
     np.testing.assert_allclose(np.asarray(g), A.T @ w, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["ell", "segment"])
+def test_bf16_compute_dtype_close_to_f32(random_graph, rng, impl):
+    rows, cols, n = random_graph
+    adj = sym_normalized_adjacency(rows, cols, n)
+    x = rng.normal(size=(n, 32)).astype(np.float32)
+    f32 = np.asarray(Propagator(adj, impl=impl)(x))
+    bf16 = np.asarray(Propagator(adj, impl=impl,
+                                 compute_dtype="bfloat16")(x))
+    assert bf16.dtype == np.float32
+    np.testing.assert_allclose(bf16, f32, rtol=3e-2, atol=3e-2)
