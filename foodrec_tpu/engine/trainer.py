@@ -240,7 +240,9 @@ class Trainer:
             pad = n_batches * bs - n_train
             return jnp.concatenate([perm, perm[:pad]]).astype(jnp.int32)
 
-        @jax.jit
+        # donate params/opt_state: the epoch loop reassigns them, and without
+        # donation the XL-catalog adam state (A~10GB) double-buffers past HBM
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def chunk_fn(params, opt_state, perm, k_steps, chunk_idx, buffers,
                      train_u, train_i, excl):
             with model.bind(buffers):
@@ -310,7 +312,9 @@ class Trainer:
             self.logger.info(f"resumed from {config['resume_from']} at "
                              f"epoch {start_epoch}")
 
-        best_params = params
+        # host snapshot: the live `params` buffers are donated into each
+        # epoch's chunk_fn, so a device alias would be deleted
+        best_params = jax.tree.map(np.asarray, params)
         best_test_upon_valid = {}
         stop = False
 
@@ -375,7 +379,7 @@ class Trainer:
                 self.logger.info(f"valid result: \n{dict2str(valid_result)}")
                 if update_flag:
                     self.best_valid_result = valid_result
-                    best_params = params
+                    best_params = jax.tree.map(np.asarray, params)
                     if saved:
                         self._save_checkpoint(params, ckpt_path)
                         self.logger.info(f"Saving current best: {ckpt_path}")

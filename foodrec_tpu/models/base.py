@@ -39,14 +39,16 @@ class GeneralRecommender:
         self.embedding_size = config["embedding_size"]
         self._buffers = {}
 
-        # modality features (abstract_recommender.py:84-91)
+        # modality features (abstract_recommender.py:84-91). Kept HOST-side
+        # (numpy): most models only read them once in init_params (they
+        # become trainable params); models that score with them register a
+        # device buffer themselves (e.g. LightGCN's feat). This keeps the
+        # raw 2048-d table out of HBM — 2.4GB at the Foodcom-XL catalog.
         self.v_feat = None
         self.t_feat = None
         if config["is_multimodal_model"] and not config["end2end"]:
-            self.v_feat = self.register_buffer(
-                "v_feat", jnp.asarray(self.dd.img, dtype=jnp.float32))
-            self.t_feat = self.register_buffer(
-                "t_feat", jnp.asarray(self.dd.txt, dtype=jnp.float32))
+            self.v_feat = np.asarray(self.dd.img, dtype=np.float32)
+            self.t_feat = np.asarray(self.dd.txt, dtype=np.float32)
 
     # -- constant buffers ------------------------------------------------------
     # JAX inlines device arrays captured by closure into the HLO as dense

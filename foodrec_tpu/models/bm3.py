@@ -76,11 +76,11 @@ class BM3(GeneralRecommender):
             "predictor": _torch_linear(ks[2], d, d, xavier_normal),
         }
         if self.v_feat is not None:
-            params["image_embedding"] = self.v_feat
+            params["image_embedding"] = jnp.asarray(self.v_feat)
             params["image_trs"] = _torch_linear(
                 ks[3], self.v_feat.shape[1], d, xavier_normal)
         if self.t_feat is not None:
-            params["text_embedding"] = self.t_feat
+            params["text_embedding"] = jnp.asarray(self.t_feat)
             params["text_trs"] = _torch_linear(
                 ks[4], self.t_feat.shape[1], d, xavier_normal)
         return params

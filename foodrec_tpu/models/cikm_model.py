@@ -134,10 +134,10 @@ class CIKM_Model(GeneralRecommender):
             "mm_target_atten": target_attention_params(d // self.nhead),
             "ingre_target_atten": target_attention_params(d // self.nhead),
             "health_mlp": mlp_2layer_params(ks[4], d, d, self.n_health_level),
-            "image_embedding": self.v_feat,
+            "image_embedding": jnp.asarray(self.v_feat),
             "image_trs": _torch_linear(ks[5], self.v_feat.shape[1], d,
                                        xavier_normal),
-            "text_embedding": self.t_feat,
+            "text_embedding": jnp.asarray(self.t_feat),
             "text_trs": _torch_linear(ks[6], self.t_feat.shape[1], d,
                                       xavier_normal),
         }

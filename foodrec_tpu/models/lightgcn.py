@@ -38,10 +38,12 @@ class LightGCN(GeneralRecommender):
             "prop", Propagator(adj, impl=config["spmm_impl"] or "auto",
                        compute_dtype=config["spmm_dtype"]))
 
+        import jax.numpy as jnp
+
         if self.flagD == 0:
-            self.feat = self.register_buffer("feat", self.v_feat)
+            self.feat = self.register_buffer("feat", jnp.asarray(self.v_feat))
         elif self.flagD == 1:
-            self.feat = self.register_buffer("feat", self.t_feat)
+            self.feat = self.register_buffer("feat", jnp.asarray(self.t_feat))
         elif self.flagD == 2:
             # mean of ingredient one-hots is modeled as the padded code matrix;
             # project the mean-pooled ingredient id embedding at runtime

@@ -49,8 +49,10 @@ def test_state_resume_matches_uninterrupted(synth_root, tmp_path):
     for e in range(4):
         p_full, s_full, _ = trainer._epoch_fn(p_full, s_full, keys[e])
 
-    # interrupted at epoch 2: save, reload, continue
-    p, s = params, opt_state
+    # interrupted at epoch 2: save, reload, continue. Re-init: the first
+    # branch donated the original params/opt_state buffers into its epoch.
+    p = model.init_params(jax.random.PRNGKey(0))
+    s = trainer.optimizer.init(p)
     for e in range(2):
         p, s, _ = trainer._epoch_fn(p, s, keys[e])
     path = str(tmp_path / "state")
