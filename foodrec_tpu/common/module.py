@@ -21,9 +21,13 @@ import jax.numpy as jnp
 
 from foodrec_tpu.common.init import xavier_uniform
 
+import functools as _functools
+
 ACT = {
     "relu": jax.nn.relu,
-    "gelu": jax.nn.gelu,
+    # torch F.gelu and the reference's erf formula (module.py:13-22) are the
+    # EXACT gelu; jax.nn.gelu defaults to the tanh approximation
+    "gelu": _functools.partial(jax.nn.gelu, approximate=False),
     "swish": jax.nn.silu,
 }
 
