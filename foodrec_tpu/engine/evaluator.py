@@ -95,20 +95,29 @@ def evaluate_by_user(score_fn, eval_set, neg_num, batch_size=256,
         n_pos = np.concatenate([n_pos, np.zeros(pad, n_pos.dtype)])
         n_cand = np.concatenate([n_cand, np.zeros(pad, n_cand.dtype)])
 
+    # one fused dispatch per block, no host sync until the end — the TPU
+    # tunnel has high per-call latency, so scoring+metrics are a single jit
+    # call and blocks pipeline asynchronously
+    @jax.jit
+    def block_fn(users_b, cand_b, n_pos_b, n_cand_b):
+        scores = score_fn(users_b, cand_b)
+        return scores, by_user_metrics(scores, n_pos_b, n_cand_b,
+                                       neg_num=neg_num)
+
     per_user = {k: [] for k in
                 ("auc", "recall@10", "recall@20", "ndcg@10", "ndcg@20")}
     preds = [] if return_per_user else None
     for s in range(0, len(users), batch_size):
         e = s + batch_size
-        scores = score_fn(jnp.asarray(users[s:e]), jnp.asarray(cand[s:e]))
-        m = by_user_metrics(scores, jnp.asarray(n_pos[s:e]),
-                            jnp.asarray(n_cand[s:e]), neg_num=neg_num)
+        scores, m = block_fn(jnp.asarray(users[s:e]), jnp.asarray(cand[s:e]),
+                             jnp.asarray(n_pos[s:e]), jnp.asarray(n_cand[s:e]))
         for k, v in m.items():
-            per_user[k].append(np.asarray(v))
+            per_user[k].append(v)
         if return_per_user:
-            preds.append(np.asarray(scores))
+            preds.append(scores)
 
-    per_user = {k: np.concatenate(v)[:u] for k, v in per_user.items()}
+    per_user = {k: np.asarray(jnp.concatenate(v))[:u]
+                for k, v in per_user.items()}
     metrics = {
         "AUC": float(per_user["auc"].mean()),
         "Recall@10": float(per_user["recall@10"].mean()),
@@ -118,5 +127,6 @@ def evaluate_by_user(score_fn, eval_set, neg_num, batch_size=256,
     }
     valid_score = metrics["NDCG@20"]
     if return_per_user:
-        return valid_score, metrics, per_user, np.concatenate(preds)[:u]
+        return (valid_score, metrics, per_user,
+                np.asarray(jnp.concatenate(preds))[:u])
     return valid_score, metrics

@@ -3,6 +3,8 @@
 
 import math
 
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
@@ -69,10 +71,10 @@ def test_evaluate_by_user_full_pipeline(rng):
                  n_pos=n_pos, n_cand=n_cand)
 
     table = rng.normal(size=(B, C)).astype(np.float32)
+    table_j = jnp.asarray(table)
 
-    def score_fn(users, cand):
-        return np.take_along_axis(table[np.asarray(users) % B],
-                                  np.asarray(cand), axis=1)
+    def score_fn(users, cand):  # must be jax-traceable (fused into jit)
+        return jnp.take_along_axis(table_j[users % B], cand, axis=1)
 
     score, metrics = evaluate_by_user(score_fn, es, neg_num=35, batch_size=4)
     assert score == pytest.approx(metrics["NDCG@20"])
