@@ -59,10 +59,10 @@ def full_sort_topk(score_fn, users, n_items, k, user_batch=64,
             best_i = jnp.take_along_axis(merged_i, sel, axis=1)
         return best_i
 
-    out = []
-    for s in range(0, len(users), user_batch):
-        out.append(np.asarray(sweep(jnp.asarray(users[s:s + user_batch]))))
-    return np.concatenate(out)[:u]
+    # dispatch all blocks before syncing once (high per-call tunnel latency)
+    out = [sweep(jnp.asarray(users[s:s + user_batch]))
+           for s in range(0, len(users), user_batch)]
+    return np.asarray(jnp.concatenate(out))[:u]
 
 
 class TopKEvaluator:

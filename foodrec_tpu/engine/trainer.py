@@ -469,15 +469,15 @@ class Trainer:
         bs = min(self.eval_batch_size,
                  getattr(self.model, "eval_batch_cap", None)
                  or self.eval_batch_size)
-        preds = []
         pad = (-len(users)) % bs
         users_p = np.concatenate([users, np.zeros(pad, users.dtype)])
         cand_p = np.concatenate(
             [cand, np.zeros((pad, cand.shape[1]), cand.dtype)])
-        for s in range(0, len(users_p), bs):
-            preds.append(np.asarray(score_fn(jnp.asarray(users_p[s:s + bs]),
-                                             jnp.asarray(cand_p[s:s + bs]))))
-        pred_list = np.concatenate(preds)[:len(users)]
+        # dispatch all blocks, sync once (tunnel round-trip latency)
+        preds = [score_fn(jnp.asarray(users_p[s:s + bs]),
+                          jnp.asarray(cand_p[s:s + bs]))
+                 for s in range(0, len(users_p), bs)]
+        pred_list = np.asarray(jnp.concatenate(preds))[:len(users)]
         result = sample_rank_metrics(pred_list, self.neg_sample_num)
         return result["NDCG@20"], result
 
