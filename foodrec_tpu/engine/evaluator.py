@@ -72,11 +72,15 @@ def by_user_metrics(scores, n_pos, n_cand, neg_num, max_k=20):
 
 
 def evaluate_by_user(score_fn, eval_set, neg_num, batch_size=256,
-                     return_per_user=False):
+                     return_per_user=False, block_fn=None):
     """Run the by-user eval over a padded EvalSet.
 
-    score_fn(users_int32[B], cand_int32[B, C]) -> float32 [B, C]; it is
-    called on fixed-size user blocks so it compiles once.
+    score_fn(users_int32[B], cand_int32[B, C]) -> float32 [B, C], called on
+    fixed-size user blocks; must be jax-traceable (it is fused with the
+    metric computation into one dispatch per block). Callers that evaluate
+    repeatedly should pass a stable jitted `block_fn(users, cand, n_pos,
+    n_cand) -> (scores, metrics)` to avoid per-call retracing (the Trainer
+    does).
 
     Returns (valid_score, metrics_dict) with the reference's metric keys
     (AUC, Recall@10/20, NDCG@10/20); valid_score = NDCG@20
@@ -98,11 +102,12 @@ def evaluate_by_user(score_fn, eval_set, neg_num, batch_size=256,
     # one fused dispatch per block, no host sync until the end — the TPU
     # tunnel has high per-call latency, so scoring+metrics are a single jit
     # call and blocks pipeline asynchronously
-    @jax.jit
-    def block_fn(users_b, cand_b, n_pos_b, n_cand_b):
-        scores = score_fn(users_b, cand_b)
-        return scores, by_user_metrics(scores, n_pos_b, n_cand_b,
-                                       neg_num=neg_num)
+    if block_fn is None:
+        @jax.jit
+        def block_fn(users_b, cand_b, n_pos_b, n_cand_b):
+            scores = score_fn(users_b, cand_b)
+            return scores, by_user_metrics(scores, n_pos_b, n_cand_b,
+                                           neg_num=neg_num)
 
     per_user = {k: [] for k in
                 ("auc", "recall@10", "recall@20", "ndcg@10", "ndcg@20")}

@@ -37,7 +37,7 @@ import numpy as np
 import optax
 
 from foodrec_tpu.data.sampling import sample_negatives
-from foodrec_tpu.engine.evaluator import evaluate_by_user
+from foodrec_tpu.engine.evaluator import by_user_metrics, evaluate_by_user
 from foodrec_tpu.utils.misc import dict2str, early_stopping
 
 
@@ -118,6 +118,17 @@ class Trainer:
         self._epoch_fn_inner = self._build_epoch_fn()
         self._cache_fn_inner = jax.jit(self._bound(model.eval_cache))
         self._score_fn_inner = jax.jit(self._bound(model.score_from_cache))
+
+        neg_num = self.neg_sample_num
+
+        def _eval_block(buffers, params, cache, users, cand, n_pos, n_cand):
+            with model.bind(buffers):
+                scores = model.score_from_cache(params, cache, users, cand)
+            return scores, by_user_metrics(scores, n_pos, n_cand,
+                                           neg_num=neg_num)
+
+        # stable jit: retracing a per-eval closure cost seconds per eval
+        self._eval_block_fn = jax.jit(_eval_block)
 
         self.best_valid_score = -1.0
         self.best_valid_result = None
@@ -410,14 +421,17 @@ class Trainer:
         return functools.partial(self._score_fn, params, cache)
 
     def _valid_by_user(self, params, eval_set, return_per_user=False):
-        score_fn = self._score_fn_cached(params)
+        cache = self._cache_fn(params)
+        block_fn = functools.partial(self._eval_block_fn, self._buffers,
+                                     params, cache)
         bs = self.eval_batch_size
         cap = getattr(self.model, "eval_batch_cap", None)
         if cap:
             bs = min(bs, cap)
-        return evaluate_by_user(score_fn, eval_set, self.neg_sample_num,
+        return evaluate_by_user(None, eval_set, self.neg_sample_num,
                                 batch_size=bs,
-                                return_per_user=return_per_user)
+                                return_per_user=return_per_user,
+                                block_fn=block_fn)
 
     def _valid_full_sort(self, params, is_test, idx=0):
         """Full-catalog ranking -> TopKEvaluator metrics
