@@ -67,6 +67,14 @@ class BM3(GeneralRecommender):
             "prop", Propagator(adj, impl=config["spmm_impl"] or "auto",
                        compute_dtype=config["spmm_dtype"]))
 
+        # opt-in: frozen modality tables (see cikm_model.py note)
+        self.freeze_mm = bool(config["freeze_modality_tables"])
+        if self.freeze_mm:
+            if self.v_feat is not None:
+                self.register_buffer("image_frozen", jnp.asarray(self.v_feat))
+            if self.t_feat is not None:
+                self.register_buffer("text_frozen", jnp.asarray(self.t_feat))
+
     def init_params(self, key):
         d = self.embedding_size
         ks = jax.random.split(key, 8)
@@ -76,14 +84,21 @@ class BM3(GeneralRecommender):
             "predictor": _torch_linear(ks[2], d, d, xavier_normal),
         }
         if self.v_feat is not None:
-            params["image_embedding"] = jnp.asarray(self.v_feat)
+            if not self.freeze_mm:
+                params["image_embedding"] = jnp.asarray(self.v_feat)
             params["image_trs"] = _torch_linear(
                 ks[3], self.v_feat.shape[1], d, xavier_normal)
         if self.t_feat is not None:
-            params["text_embedding"] = jnp.asarray(self.t_feat)
+            if not self.freeze_mm:
+                params["text_embedding"] = jnp.asarray(self.t_feat)
             params["text_trs"] = _torch_linear(
                 ks[4], self.t_feat.shape[1], d, xavier_normal)
         return params
+
+    def _mm_table(self, params, name):
+        if self.freeze_mm:
+            return getattr(self, f"{name}_frozen")
+        return params[f"{name}_embedding"]
 
     def _gnn_encode(self, params):
         ego = jnp.concatenate([params["user_embedding"],
@@ -109,10 +124,10 @@ class BM3(GeneralRecommender):
         t_feat_online = v_feat_online = None
         if self.t_feat is not None:
             t_feat_online = linear_apply(params["text_trs"],
-                                         params["text_embedding"])
+                                         self._mm_table(params, "text"))
         if self.v_feat is not None:
             v_feat_online = linear_apply(params["image_trs"],
-                                         params["image_embedding"])
+                                         self._mm_table(params, "image"))
 
         # stop-gradient dropout targets (bm3.py:108-122)
         u_target = dropout(k_u, jax.lax.stop_gradient(u_online_ori),

@@ -120,10 +120,21 @@ class CIKM_Model(GeneralRecommender):
         self.health_mh = self.register_buffer(
             "health_mh", jnp.asarray(mh))                  # [n_items, H]
 
+        # opt-in production knob (no reference equivalent): keep the raw
+        # modality tables frozen buffers instead of trainable params — the
+        # reference trains the full [n_items, 2048] copy
+        # (from_pretrained(freeze=False), cikm_model.py:85-89), which costs a
+        # dense grad + Adam pass over ~60M params per step (~30% of the step
+        # at Foodcom scale, and the bulk of HBM at XL catalogs)
+        self.freeze_mm = bool(config["freeze_modality_tables"])
+        if self.freeze_mm:
+            self.register_buffer("image_frozen", jnp.asarray(self.v_feat))
+            self.register_buffer("text_frozen", jnp.asarray(self.t_feat))
+
     def init_params(self, key):
         d = self.embedding_size
         ks = jax.random.split(key, 10)
-        return {
+        params = {
             "user_embedding": xavier_uniform(ks[0], (self.n_users, d)),
             "item_embedding": xavier_uniform(ks[1], (self.n_items, d)),
             # pad row (last) is frozen in _ingre_table
@@ -134,13 +145,20 @@ class CIKM_Model(GeneralRecommender):
             "mm_target_atten": target_attention_params(d // self.nhead),
             "ingre_target_atten": target_attention_params(d // self.nhead),
             "health_mlp": mlp_2layer_params(ks[4], d, d, self.n_health_level),
-            "image_embedding": jnp.asarray(self.v_feat),
             "image_trs": _torch_linear(ks[5], self.v_feat.shape[1], d,
                                        xavier_normal),
-            "text_embedding": jnp.asarray(self.t_feat),
             "text_trs": _torch_linear(ks[6], self.t_feat.shape[1], d,
                                       xavier_normal),
         }
+        if not self.freeze_mm:
+            params["image_embedding"] = jnp.asarray(self.v_feat)
+            params["text_embedding"] = jnp.asarray(self.t_feat)
+        return params
+
+    def _mm_table(self, params, name):
+        if self.freeze_mm:
+            return getattr(self, f"{name}_frozen")
+        return params[f"{name}_embedding"]
 
     def _ingre_table(self, params):
         w = params["ingre_embedding"]
@@ -183,9 +201,9 @@ class CIKM_Model(GeneralRecommender):
 
         # --- multimodal queries (cikm_model.py:240-246) --------------------
         image_feats = linear_apply(params["image_trs"],
-                                   params["image_embedding"][items2])
+                                   self._mm_table(params, "image")[items2])
         text_feats = linear_apply(params["text_trs"],
-                                  params["text_embedding"][items2])
+                                  self._mm_table(params, "text")[items2])
         mm_query = jnp.stack([image_feats, text_feats], axis=1)  # [2B, 2, D]
 
         item_health, _ = target_attention_apply(

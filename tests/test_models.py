@@ -86,3 +86,22 @@ def test_model_loss_decreases(synth_root, name):
     losses = [trainer.train_loss_dict[e]
               for e in sorted(trainer.train_loss_dict)]
     assert losses[-1] < losses[0], (name, losses)
+
+
+@pytest.mark.parametrize("name", ["CIKM_Model", "BM3"])
+def test_freeze_modality_tables(synth_root, name):
+    """Opt-in frozen modality tables: the big raw-feature copies leave the
+    param pytree (and thus the optimizer), scoring still works."""
+    from foodrec_tpu.engine.trainer import Trainer
+    from foodrec_tpu.models import get_model
+
+    cfg, data = _load(synth_root, name, {
+        **MODEL_OVERRIDES[name], "freeze_modality_tables": True})
+    model = get_model(name)(cfg, data)
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert "image_embedding" not in params
+    assert "text_embedding" not in params
+
+    trainer = Trainer(cfg, model)
+    _, _, test_res = trainer.fit(data, saved=False, hyper_tuple=(999,))
+    assert np.isfinite(list(test_res.values())).all()
