@@ -83,9 +83,11 @@ def run_ours(data_path, model_name, epochs, seed):
     params = model.init_params(jax.random.PRNGKey(seed))
     opt_state = trainer.optimizer.init(params)
     key = jax.random.PRNGKey(0)
-    # compile warmup on throwaway state so `wall` is pure run time
-    _p, _o, _parts = trainer._epoch_fn(params, opt_state,
-                                       jax.random.PRNGKey(1))
+    # compile warmup on SEPARATE throwaway state (the epoch donates its
+    # params/opt_state buffers) so `wall` is pure run time
+    _p = model.init_params(jax.random.PRNGKey(1))
+    _o = trainer.optimizer.init(_p)
+    _p, _o, _parts = trainer._epoch_fn(_p, _o, jax.random.PRNGKey(1))
     jax.block_until_ready(_parts)
     t0 = time.time()
     for _ in range(epochs):
@@ -94,7 +96,9 @@ def run_ours(data_path, model_name, epochs, seed):
     jax.block_until_ready(parts)
     wall = time.time() - t0
 
-    user_emb, item_emb = model.forward(params)[:2]
+    # jitted + buffer-bound eval cache (same embeddings the trained eval
+    # path scores with; BM3's includes the predictor like inference_by_user)
+    user_emb, item_emb = trainer._cache_fn(params)[:2]
     metrics = eval_embeddings(np.asarray(user_emb), np.asarray(item_emb),
                               data.device_data.eval_test, SCALE["neg_num"])
     return metrics, wall, data
@@ -159,7 +163,13 @@ def run_reference(data_path, model_name, epochs, seed, eval_test):
 
         model.eval()
         with torch.no_grad():
-            out = model.forward()
+            if model_name == "BM3":
+                # BM3 has no forward(); inference applies the predictor to
+                # the gnn encodings (reference bm3.py:152-159)
+                u, i = model.gnn_encode()
+                out = (model.predictor(u), model.predictor(i))
+            else:
+                out = model.forward()
         user_emb = out[0].detach().numpy()
         item_emb = out[1].detach().numpy()
         metrics = eval_embeddings(user_emb, item_emb, eval_test,
