@@ -15,7 +15,9 @@ hops with layer-mean readout, all inside the jit'd loss/score functions.
 import jax
 import jax.numpy as jnp
 
-from foodrec_tpu.common.init import linear_apply, linear_params, xavier_uniform
+import numpy as np
+
+from foodrec_tpu.common.init import linear_apply, xavier_uniform
 from foodrec_tpu.common.loss import bpr_loss, emb_loss
 from foodrec_tpu.models import register
 from foodrec_tpu.models.base import GeneralRecommender
@@ -38,18 +40,24 @@ class LightGCN(GeneralRecommender):
             "prop", Propagator(adj, impl=config["spmm_impl"] or "auto",
                        compute_dtype=config["spmm_dtype"]))
 
-        import jax.numpy as jnp
-
+        # the feature copy is TRAINABLE in the reference
+        # (from_pretrained(freeze=False), lightgcn.py:73); it lives in params
+        # unless freeze_modality_tables opts out
+        self.freeze_mm = bool(config["freeze_modality_tables"])
         if self.flagD == 0:
-            self.feat = self.register_buffer("feat", jnp.asarray(self.v_feat))
+            self.feat = self.v_feat
         elif self.flagD == 1:
-            self.feat = self.register_buffer("feat", jnp.asarray(self.t_feat))
+            self.feat = self.t_feat
         elif self.flagD == 2:
             # mean of ingredient one-hots is modeled as the padded code matrix;
             # project the mean-pooled ingredient id embedding at runtime
             self.feat = None
         else:
             self.feat = None
+        if self.freeze_mm and self.feat is not None:
+            # register at construction time (the Trainer snapshots buffers
+            # before init_params runs)
+            self.register_buffer("feat_frozen", jnp.asarray(self.feat))
 
     def init_params(self, key):
         d = self.embedding_size
@@ -59,14 +67,26 @@ class LightGCN(GeneralRecommender):
             "item_embedding": xavier_uniform(ks[1], (self.n_items, d)),
         }
         if self.feat is not None:
-            # the reference names this `image_trs` even when fed text features
-            params["image_trs"] = linear_params(
-                ks[2], self.feat.shape[1], d, init=xavier_uniform)
+            # `image_trs` is created AFTER the xavier apply pass in the
+            # reference (lightgcn.py:72-74), so it keeps torch's default
+            # Linear init; named image_trs even when fed text features
+            kw, kb = jax.random.split(ks[2])
+            bound = 1.0 / np.sqrt(self.feat.shape[1])
+            params["image_trs"] = {
+                "w": jax.random.uniform(kw, (self.feat.shape[1], d),
+                                        minval=-bound, maxval=bound),
+                "b": jax.random.uniform(kb, (d,), minval=-bound,
+                                        maxval=bound),
+            }
+            if not self.freeze_mm:
+                params["image_embedding"] = jnp.asarray(self.feat)
         return params
 
     def _ego(self, params):
         if self.feat is not None:
-            item_ego = linear_apply(params["image_trs"], self.feat)
+            table = (self.feat_frozen if self.freeze_mm
+                     else params["image_embedding"])
+            item_ego = linear_apply(params["image_trs"], table)
         else:
             item_ego = params["item_embedding"]
         return jnp.concatenate([params["user_embedding"], item_ego], axis=0)
