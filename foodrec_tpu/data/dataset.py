@@ -283,6 +283,13 @@ class GraphData:
         if config["load_RecipeRecipeHealth_graph"]:
             self.rr_health_triples = np.loadtxt(graph_path + "rr_health_graph.txt")
             self.n_relations += 1
+        if config["health_neg_sample"]:
+            # health-stratified negative-sampling buckets (reference:
+            # dataloader.py:22-25): (neg_sample_set, health_0..health_5)
+            with open(graph_path + "health_sample_dict.pkl", "rb") as f:
+                (self.neg_sample_set, self.health_0, self.health_1,
+                 self.health_2, self.health_3, self.health_4,
+                 self.health_5) = pickle.load(f)
         if config["load_ImageCluster_graph"]:
             self.image_cluster_triples = np.loadtxt(
                 interaction_path + "cluster/image_cluster_edge.txt")

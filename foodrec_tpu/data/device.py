@@ -136,6 +136,11 @@ class DeviceData:
     health_level: Optional[np.ndarray] = None   # int32 [n_items]
     health_mh: Optional[np.ndarray] = None      # float32 [n_items, H]
 
+    # health-stratified second-negative sampling (dataloader.py:22-25, 87-114)
+    health_bucket_items: Optional[np.ndarray] = None  # int32 [6, L], pad -1
+    health_in_sample: Optional[np.ndarray] = None     # bool [num_users]
+    train_items_arr: Optional[np.ndarray] = None      # int32 [n_train_items]
+
     @property
     def n_train(self):
         return len(self.train_u)
@@ -182,6 +187,26 @@ class DeviceData:
             for k, v in dataset.health_level_multi_hot.items():
                 health_mh[k] = np.asarray(v, dtype=np.float32)
 
+        health_bucket_items = health_in_sample = train_items_arr = None
+        if config["health_neg_sample"]:
+            # buckets keyed by the POSITIVE item's health level; users outside
+            # neg_sample_set fall back to uniform over train items
+            # (dataloader.py:87-114)
+            assert health_level is not None, (
+                "health_neg_sample requires use_health_level "
+                "(reference reads dataset.health_level[pos_i_id])")
+            buckets = [dataset.health_0, dataset.health_1, dataset.health_2,
+                       dataset.health_3, dataset.health_4, dataset.health_5]
+            width = max((len(b) for b in buckets), default=0) or 1
+            health_bucket_items = np.full((6, width), -1, dtype=np.int32)
+            for bi, b in enumerate(buckets):
+                health_bucket_items[bi, :len(b)] = np.asarray(b, np.int32)
+            health_in_sample = np.zeros(n_users, dtype=bool)
+            idx = np.asarray(sorted(dataset.neg_sample_set), dtype=np.int64)
+            health_in_sample[idx[idx < n_users]] = True
+            train_items_arr = np.asarray(dataset.train_item_list,
+                                         dtype=np.int32)
+
         return cls(
             n_users=dataset.n_users, n_items=dataset.n_items,
             num_users=n_users, num_items=n_items,
@@ -193,4 +218,7 @@ class DeviceData:
             ingre_num=np.asarray(dataset.ingredientNum, dtype=np.int32),
             eval_valid=eval_valid, eval_test=eval_test,
             cal_level=cal_level, health_level=health_level, health_mh=health_mh,
+            health_bucket_items=health_bucket_items,
+            health_in_sample=health_in_sample,
+            train_items_arr=train_items_arr,
         )

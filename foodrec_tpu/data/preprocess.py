@@ -293,14 +293,21 @@ def kmeans_cluster_edges(features, out_dir, modality, n_clusters=2000,
 
 
 # ------------------------------------------------------------------ features
-def t5_text_features(texts, model_name="t5-small", batch_size=64):
-    """Mean-pooled T5 encoder features (cells 9-14). Requires downloaded
-    weights — unavailable in zero-egress environments."""
+def t5_text_features(texts, model_name="t5-small", batch_size=64,
+                     tokenizer=None, encoder=None):
+    """Mean-pooled T5 encoder features (cells 9-14). Weights are downloaded
+    unless `tokenizer`/`encoder` are injected (tests pass mocks; zero-egress
+    environments cannot fetch the real ones). Contract: float32 [N, 512]
+    (D = the encoder's hidden size), attention-mask-weighted mean pooling
+    over the sequence axis."""
     import torch
-    from transformers import T5EncoderModel, T5Tokenizer
 
-    tok = T5Tokenizer.from_pretrained(model_name)
-    enc = T5EncoderModel.from_pretrained(model_name).eval()
+    if tokenizer is None or encoder is None:
+        from transformers import T5EncoderModel, T5Tokenizer
+
+        tokenizer = T5Tokenizer.from_pretrained(model_name)
+        encoder = T5EncoderModel.from_pretrained(model_name).eval()
+    tok, enc = tokenizer, encoder
     out = []
     with torch.no_grad():
         for s in range(0, len(texts), batch_size):
@@ -312,22 +319,32 @@ def t5_text_features(texts, model_name="t5-small", batch_size=64):
     return np.concatenate(out).astype(np.float32)
 
 
-def resnet50_image_features(image_paths, batch_size=32):
-    """ResNet-50 (fc=Identity) 2048-d features (cells 16-17). Requires
-    downloaded weights — unavailable in zero-egress environments."""
+def resnet50_image_features(image_paths, batch_size=32, backbone=None,
+                            transform=None):
+    """ResNet-50 (fc=Identity) 2048-d features (cells 16-17). Weights are
+    downloaded unless `backbone` is injected (tests pass a mock; zero-egress
+    environments cannot fetch the real ones). Contract: float32 [N, 2048]
+    (D = the backbone's output width), 256-resize / 224-center-crop /
+    ImageNet-normalized inputs."""
     import torch
-    import torchvision
 
-    model = torchvision.models.resnet50(weights="IMAGENET1K_V2")
-    model.fc = torch.nn.Identity()
-    model.eval()
-    tfm = torchvision.transforms.Compose([
-        torchvision.transforms.Resize(256),
-        torchvision.transforms.CenterCrop(224),
-        torchvision.transforms.ToTensor(),
-        torchvision.transforms.Normalize([0.485, 0.456, 0.406],
-                                         [0.229, 0.224, 0.225]),
-    ])
+    if backbone is None:
+        import torchvision
+
+        backbone = torchvision.models.resnet50(weights="IMAGENET1K_V2")
+        backbone.fc = torch.nn.Identity()
+    model = backbone.eval()
+    if transform is None:
+        import torchvision
+
+        transform = torchvision.transforms.Compose([
+            torchvision.transforms.Resize(256),
+            torchvision.transforms.CenterCrop(224),
+            torchvision.transforms.ToTensor(),
+            torchvision.transforms.Normalize([0.485, 0.456, 0.406],
+                                             [0.229, 0.224, 0.225]),
+        ])
+    tfm = transform
     from PIL import Image
 
     out = []

@@ -39,39 +39,42 @@ def sample_negatives(key, users, excl_bitmap, num_items, n_tries=32):
     return draws[pick, jnp.arange(b)]
 
 
-def sample_health_stratified_negatives(key, users, excl_bitmap, num_items,
-                                       bucket_items, bucket_of_user,
-                                       in_sample_set, n_tries=32):
+def sample_health_stratified_negatives(key, users, pos_items, excl_bitmap,
+                                       health_level, bucket_items,
+                                       in_sample_set, train_items,
+                                       n_tries=32):
     """Second, health-stratified negative per sample (reference
-    dataloader.py:22-25, 87-114: users in `neg_sample_set` draw from their
-    health bucket's item list; others draw uniformly).
+    dataloader.py:22-25, 87-114): users in `neg_sample_set` draw from the
+    health bucket of their POSITIVE item (`health_level[pos_i_id]`); others
+    draw uniformly over the TRAIN item list (`random.choice(train_item_list)`).
+    Both paths rejection-test against the user's train ∪ valid/test positives.
 
+    pos_items: int32 [B] positive item per sample
+    health_level: int32 [num_items] scalar health level per item
     bucket_items: int32 [n_buckets, L] padded item-id lists (pad = -1)
-    bucket_of_user: int32 [num_users] bucket index per user
     in_sample_set: bool [num_users]
+    train_items: int32 [n_train_items] distinct train item ids
     """
     b = users.shape[0]
-    k_uni, k_bucket = jax.random.split(key)
-    uniform = sample_negatives(k_uni, users, excl_bitmap, num_items,
-                               n_tries=n_tries)
-
-    buckets = bucket_of_user[users]                      # [B]
+    buckets = health_level[pos_items]                    # [B]
     lists = bucket_items[buckets]                        # [B, L]
     lens = jnp.sum(lists >= 0, axis=1)                   # [B]
-    draws = jax.random.randint(k_bucket, (n_tries, b), 0,
+    draws = jax.random.randint(key, (n_tries, b), 0,
                                jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
     slots = draws % jnp.maximum(lens, 1)[None, :]
-    cand = jnp.take_along_axis(lists, slots.T, axis=1).T  # [T, B]
-    cand = jnp.maximum(cand, 0)
+    cand_b = jnp.take_along_axis(lists, slots.T, axis=1).T  # [T, B]
+    cand_b = jnp.maximum(cand_b, 0)
+    cand_u = train_items[draws % train_items.shape[0]]      # [T, B]
+    # empty buckets fall back to the uniform path (the reference would raise
+    # on random.choice([]) — guarded here)
+    use_bucket = in_sample_set[users] & (lens > 0)           # [B]
+    cand = jnp.where(use_bucket[None, :], cand_b, cand_u)
     bad = is_excluded(excl_bitmap, jnp.broadcast_to(users, (n_tries, b)),
                       cand)
     first_ok = jnp.argmax(~bad, axis=0)
     any_ok = jnp.any(~bad, axis=0)
     pick = jnp.where(any_ok, first_ok, n_tries - 1)
-    stratified = cand[pick, jnp.arange(b)]
-
-    use_bucket = in_sample_set[users] & (lens > 0)
-    return jnp.where(use_bucket, stratified, uniform)
+    return cand[pick, jnp.arange(b)]
 
 
 def ssl_mask_ingredients(key, ingre_codes, ingre_num, n_ingredients,

@@ -175,6 +175,14 @@ def generate(root, n_users=24, n_items=60, n_ingredients=12, n_cal_levels=4,
               "wb") as f:
         pickle.dump(multi_hot, f)
 
+    # health-stratified second-negative buckets (dataloader.py:22-25):
+    # pickle = (neg_sample_set, health_0, ..., health_5); always 6 buckets
+    by_level = [[i for i in range(n_items) if health_level[i] == lvl]
+                for lvl in range(6)]
+    neg_sample_set = set(range(0, n_users, 2))
+    with open(os.path.join(graph_dir, "health_sample_dict.pkl"), "wb") as f:
+        pickle.dump((neg_sample_set, *by_level), f)
+
     # --- kmeans cluster graphs (CLUSSL input; 6 edges/item upstream, fewer here)
     mm_cluster_dir = os.path.join(base, "mm_cluster")
     os.makedirs(mm_cluster_dir, exist_ok=True)

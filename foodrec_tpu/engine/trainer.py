@@ -133,6 +133,7 @@ class Trainer:
         self.best_valid_score = -1.0
         self.best_valid_result = None
         self.train_loss_dict = {}
+        self._epoch_cos_sim = None  # calcu_cos_similarity epoch accumulator
 
     def _bound(self, fn):
         """Wrap `fn` so registered model buffers arrive as the first jit
@@ -187,6 +188,28 @@ class Trainer:
 
         n_tries = self.config["neg_sample_tries"] or 32
         num_items = model.dd.num_items
+
+        # health-stratified second negative (reference dataloader.py:87-114
+        # emits health_neg* fields when `health_neg_sample` is set); the
+        # bucket arrays are small (<1MB) so closure capture is fine
+        hns = bool(self.config["health_neg_sample"])
+        if hns:
+            from foodrec_tpu.data.sampling import (
+                sample_health_stratified_negatives)
+
+            ddh = model.dd
+            assert ddh.health_bucket_items is not None, (
+                "health_neg_sample set but DeviceData has no bucket arrays")
+            h_level = jnp.asarray(ddh.health_level)
+            h_bucket = jnp.asarray(ddh.health_bucket_items)
+            h_in_set = jnp.asarray(ddh.health_in_sample)
+            h_train_items = jnp.asarray(ddh.train_items_arr)
+
+        # per-batch embedding/grad cosine probe, accumulated over the epoch
+        # like the reference's total_sim (trainer.py:216-220)
+        probe_on = bool(self.config["calcu_cos_similarity"])
+        if probe_on:
+            from foodrec_tpu.utils.diagnostics import embedding_cos_similarity
         # chunk the per-epoch scan: K steps per jit call, host loop over
         # chunks (bounds compile-unit size; semantics identical because
         # overflow steps skip the optimizer update entirely)
@@ -208,6 +231,10 @@ class Trainer:
             batch = {"u_id": u, "pos_i_id": i, "neg_i_id": neg,
                      "weight": weight.astype(jnp.float32),
                      "key": k_model}
+            if hns:
+                batch["health_neg"] = sample_health_stratified_negatives(
+                    jax.random.fold_in(k_neg, 1), u, i, excl, h_level,
+                    h_bucket, h_in_set, h_train_items, n_tries=n_tries)
             if self.mesh is not None:
                 from foodrec_tpu.parallel.mesh import shard_batch
 
@@ -242,8 +269,17 @@ class Trainer:
             opt_state = jax.tree.map(
                 lambda new, old: jnp.where(live, new, old), new_opt, opt_state)
             parts = jnp.where(live, parts, jnp.zeros_like(parts))
+            out = parts
+            if probe_on:
+                emb = model.diagnostic_embeddings(params)
+                if emb is not None:
+                    gemb = model.diagnostic_embeddings(grads)
+                    sim = jnp.stack(embedding_cos_similarity(*emb, *gemb))
+                else:
+                    sim = jnp.zeros((6,), jnp.float32)
+                out = (parts, jnp.where(live, sim, jnp.zeros_like(sim)))
             return (params, opt_state, perm, k_steps,
-                    train_u, train_i, excl), parts
+                    train_u, train_i, excl), out
 
         @jax.jit
         def perm_fn(key):
@@ -257,26 +293,35 @@ class Trainer:
         def chunk_fn(params, opt_state, perm, k_steps, chunk_idx, buffers,
                      train_u, train_i, excl):
             with model.bind(buffers):
-                (params, opt_state, *_), parts = jax.lax.scan(
+                (params, opt_state, *_), out = jax.lax.scan(
                     train_step,
                     (params, opt_state, perm, k_steps, train_u, train_i,
                      excl),
                     chunk_idx * chunk + jnp.arange(chunk))
-            return params, opt_state, jnp.sum(parts, axis=0)
+            return params, opt_state, jax.tree.map(
+                lambda x: jnp.sum(x, axis=0), out)
 
         def epoch_fn(params, opt_state, key, buffers, train_u, train_i, excl):
             k_perm, k_steps = jax.random.split(key)
             perm = perm_fn(k_perm)
             loss_parts = None
+            sim_total = None
             for c in range(n_chunks):
-                params, opt_state, parts = chunk_fn(
+                params, opt_state, out = chunk_fn(
                     params, opt_state, perm, k_steps, jnp.int32(c), buffers,
                     train_u, train_i, excl)
+                if probe_on:
+                    parts, sim = out
+                    sim_total = sim if sim_total is None else sim_total + sim
+                else:
+                    parts = out
                 loss_parts = parts if loss_parts is None else loss_parts + parts
                 # chunk-granular NaN abort (the reference aborts mid-epoch at
                 # batch granularity, trainer.py:191-193)
                 if n_chunks > 1 and not np.isfinite(np.asarray(parts)).all():
                     break
+            self._epoch_cos_sim = (np.asarray(sim_total)
+                                   if sim_total is not None else None)
             return params, opt_state, loss_parts
 
         return epoch_fn
@@ -360,6 +405,14 @@ class Trainer:
                 self.logger.info(
                     f"epoch {epoch_idx} training [time: {time.time() - t0:.2f}s, "
                     f"lr: {float(lr_now):.6f}, {parts_str}]")
+                if (self.config["calcu_cos_similarity"]
+                        and self._epoch_cos_sim is not None):
+                    s = self._epoch_cos_sim
+                    self.logger.info(
+                        "cos-sim (summed over batches) [id-text: "
+                        f"{s[0]:.4f}, grad: {s[1]:.4f}, id-image: {s[2]:.4f}, "
+                        f"grad: {s[3]:.4f}, pos(text>id): {s[4]:.4f}, "
+                        f"pos(image>id): {s[5]:.4f}]")
 
             if (config["save_state_every"]
                     and (epoch_idx + 1) % config["save_state_every"] == 0):

@@ -132,6 +132,24 @@ class GeneralRecommender:
         user_emb, item_emb = cache[:2]
         return jnp.einsum("bd,bcd->bc", user_emb[users], item_emb[cand])
 
+    def diagnostic_embeddings(self, tree):
+        """Same-dim (id, text, image) embedding matrices for the cosine
+        probe (reference trainer.py:584-629 reads model.id_emb / text_emb /
+        image_emb — attributes only unshipped variants set; on the six
+        shipped models the flag would crash there). Works on the params
+        pytree and, since grads share its structure, on grads.
+
+        Returns None unless all three tables exist with one trailing dim —
+        the trainer then skips the probe instead of crashing.
+        """
+        keys = ("item_embedding", "text_embedding", "image_embedding")
+        if not all(isinstance(tree, dict) and k in tree for k in keys):
+            return None
+        mats = [tree[k] for k in keys]
+        if len({m.shape[-1] for m in mats}) != 1:
+            return None
+        return tuple(mats)
+
     # -- sharding -------------------------------------------------------------
     def param_shardings(self, mesh, params):
         """NamedSharding per param for a mesh with optional 'model' axis.

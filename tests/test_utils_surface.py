@@ -83,15 +83,20 @@ def test_health_stratified_negatives():
     excl = jnp.zeros((num_users, 2), jnp.uint32)  # nothing excluded
     bucket_items = jnp.asarray([[10, 11, 12, -1], [20, 21, -1, -1]],
                                jnp.int32)
-    bucket_of_user = jnp.asarray([0, 1] * 4, jnp.int32)
+    # bucket is keyed by the POSITIVE item's health level
+    # (dataloader.py:96-107): items 0/2/... level 0, items 1/3/... level 1
+    health_level = jnp.asarray(np.arange(num_items) % 2, jnp.int32)
     in_set = jnp.asarray([True] * 4 + [False] * 4)
     users = jnp.arange(8, dtype=jnp.int32)
+    pos_items = jnp.asarray([0, 1] * 4, jnp.int32)
+    train_items = jnp.asarray([30, 31, 32, 33], jnp.int32)
     neg = sample_health_stratified_negatives(
-        jax.random.PRNGKey(0), users, excl, num_items, bucket_items,
-        bucket_of_user, in_set)
+        jax.random.PRNGKey(0), users, pos_items, excl, health_level,
+        bucket_items, in_set, train_items)
     neg = np.asarray(neg)
-    # users 0..3 are in the sample set: draws come from their bucket
+    # users 0..3 are in the sample set: draws come from the pos item's bucket
     assert neg[0] in {10, 11, 12} and neg[2] in {10, 11, 12}
     assert neg[1] in {20, 21} and neg[3] in {20, 21}
-    # users 4..7 fall back to uniform over the catalog
-    assert ((0 <= neg[4:]) & (neg[4:] < num_items)).all()
+    # users 4..7 fall back to uniform over the TRAIN item list
+    # (reference: random.choice(train_item_list))
+    assert set(neg[4:].tolist()) <= {30, 31, 32, 33}
