@@ -45,6 +45,62 @@ def ensure_dataset():
     return BENCH_ROOT + "/"
 
 
+def pallas_correctness_gate(model):
+    """TPU-compiled Pallas SpMM vs the XLA segment_sum reference on the
+    model's ACTUAL adjacencies (VERDICT r1 weak #5: CI only exercises the
+    interpreter; this is the only place the compiled kernel is checked).
+    Returns {graph_name: selected_impl}; raises on numeric mismatch."""
+    import jax
+    import numpy as np
+
+    from foodrec_tpu.ops.spmm import Propagator
+
+    impls = {}
+    on_tpu = jax.default_backend() == "tpu"
+    for name, buf in model._buffers.items():
+        if not isinstance(buf, Propagator):
+            continue
+        impls[name] = buf.impl
+        if not on_tpu:
+            continue
+        adj = buf.adj
+        x = jax.random.normal(jax.random.PRNGKey(17), (adj.n_nodes, 64))
+        seg = Propagator(adj, impl="segment", _with_vjp=False)
+        pal = Propagator(adj, impl="pallas", _with_vjp=False)
+        y_seg = np.asarray(jax.jit(seg)(x))
+        y_pal = np.asarray(jax.jit(pal)(x))
+        err = np.max(np.abs(y_seg - y_pal))
+        scale = np.max(np.abs(y_seg)) or 1.0
+        assert err <= 1e-5 * scale + 1e-6, (
+            f"pallas SpMM mismatch on '{name}': max|Δ|={err:.3e} "
+            f"(scale {scale:.3e})")
+        print(f"# pallas gate '{name}': max|Δ|={err:.2e} OK "
+              f"(selected impl: {buf.impl})", file=sys.stderr, flush=True)
+    return impls
+
+
+def accuracy_gate():
+    """Planted-signal accuracy floor (VERDICT r1 weak #6): LightGCN on the
+    structured synthetic (latent_dim=8, parity_check.py SCALE) must clear a
+    comfortable AUC/NDCG floor, so a numerically-broken fast path cannot
+    ship inside a green bench. Measured healthy values: AUC ~0.90,
+    NDCG@20 ~0.47 @30 epochs."""
+    import jax
+
+    import parity_check as pc
+
+    data_path = pc.ensure_dataset()
+    t0 = time.time()
+    metrics, _, _ = pc.run_ours(data_path, "LightGCN", epochs=30, seed=999)
+    auc, ndcg20 = metrics["AUC"], metrics["NDCG@20"]
+    print(f"# accuracy gate: AUC={auc:.4f} NDCG@20={ndcg20:.4f} "
+          f"({time.time() - t0:.1f}s)", file=sys.stderr, flush=True)
+    assert auc >= 0.80, f"accuracy gate FAILED: AUC {auc:.4f} < 0.80"
+    assert ndcg20 >= 0.38, f"accuracy gate FAILED: NDCG@20 {ndcg20:.4f} < 0.38"
+    del jax  # noqa
+    return {"auc": round(float(auc), 4), "ndcg20": round(float(ndcg20), 4)}
+
+
 def main():
     from foodrec_tpu.utils.misc import enable_compilation_cache
 
@@ -69,6 +125,10 @@ def main():
     model = get_model("CIKM_Model")(cfg, data)
     trainer = Trainer(cfg, model)
     print(f"# build: {time.time() - t0:.1f}s", flush=True, file=sys.stderr)
+
+    # correctness gates (fail loudly BEFORE reporting any perf number)
+    impls = pallas_correctness_gate(model)
+    acc_gate = accuracy_gate()
 
     import jax
 
@@ -101,7 +161,13 @@ def main():
     t0 = time.time()
     _, metrics = trainer._valid(params, data.device_data.eval_test)
     eval_users_per_s = data.device_data.eval_test.n_users / (time.time() - t0)
-    print(f"# eval test: {time.time() - t0:.1f}s", flush=True, file=sys.stderr)
+    print(f"# eval test (first): {time.time() - t0:.1f}s", flush=True, file=sys.stderr)
+    # warm/steady-state eval: the first test eval pays one-time dispatch +
+    # test-shape compile; steady state is what repeated fit() evals see
+    t0 = time.time()
+    _, metrics = trainer._valid(params, data.device_data.eval_test)
+    eval_users_per_s_warm = data.device_data.eval_test.n_users / (time.time() - t0)
+    print(f"# eval test (warm): {time.time() - t0:.2f}s", flush=True, file=sys.stderr)
 
     vs_baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -122,7 +188,10 @@ def main():
             "n_train": int(data.device_data.n_train),
             "train_inters_per_s": round(data.device_data.n_train / epoch_s),
             "eval_users_per_s": round(eval_users_per_s, 1),
+            "eval_users_per_s_warm": round(eval_users_per_s_warm, 1),
             "ndcg20_smoke": metrics["NDCG@20"],
+            "accuracy_gate": acc_gate,
+            "spmm_impls": impls,
             "device": jax.devices()[0].platform,
             "epoch_times_s": [round(t, 3) for t in times],
         },

@@ -65,6 +65,80 @@ def full_sort_topk(score_fn, users, n_items, k, user_batch=64,
     return np.asarray(jnp.concatenate(out))[:u]
 
 
+def distributed_full_sort_topk(mesh, score_fn, cache, users, n_items, k,
+                               user_batch=64):
+    """Item-sharded full-catalog top-k over the mesh's 'model' axis
+    (SURVEY.md §7 step 8; the reference op being scaled is torch.topk over
+    the whole catalog, trainer.py:495-497).
+
+    Every cache array with leading dim == n_items is row-sharded over
+    'model'; each shard scores its local item slice for the user block and
+    takes a local `lax.top_k`, then the (n_shards, k) partial winners are
+    all-gathered over ICI and merged with one more top_k. Per-block
+    communication is O(n_shards * k) — the users x items matmul itself never
+    leaves the shard.
+
+    score_fn(cache_local, users_blk [B], cand_local [B, C]) -> [B, C] where
+    cand_local are LOCAL row indices into the cache shard (the base
+    `score_from_cache` contract; models that gather global item-side buffers
+    in their scorer must use the replicated sweep instead).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_sh = int(mesh.shape["model"])
+    i_pad = -(-n_items // n_sh) * n_sh
+    shard = i_pad // n_sh
+    local_k = min(k, shard)
+
+    def pad_items(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_items:
+            widths = [(0, i_pad - n_items)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+        return x
+
+    cache_p = jax.tree.map(pad_items, cache)
+    specs = jax.tree.map(
+        lambda x: (P("model", *([None] * (x.ndim - 1)))
+                   if hasattr(x, "ndim") and x.ndim >= 1
+                   and x.shape[0] == i_pad else P()),
+        cache_p)
+    # place the shards up front: each device holds only its rows
+    cache_p = jax.device_put(cache_p, jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda s: isinstance(s, P)))
+
+    def body(users_blk, cache_local):
+        off = jax.lax.axis_index("model") * shard
+        cand_local = jnp.arange(shard, dtype=jnp.int32)
+        cand_b = jnp.broadcast_to(cand_local, (users_blk.shape[0], shard))
+        s = score_fn(cache_local, users_blk, cand_b)
+        valid = (off + cand_local) < n_items
+        s = jnp.where(valid[None, :], s, -jnp.inf)
+        best_s, best_i = jax.lax.top_k(s, local_k)          # per-shard top-k
+        best_i = best_i + off                                # back to global ids
+        all_s = jax.lax.all_gather(best_s, "model")          # [n_sh, B, k']
+        all_i = jax.lax.all_gather(best_i, "model")
+        b = users_blk.shape[0]
+        all_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_sh * local_k)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_sh * local_k)
+        _, sel = jax.lax.top_k(all_s, k)                     # cross-shard merge
+        return jnp.take_along_axis(all_i, sel, axis=1)
+
+    sweep = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(P(), specs), out_specs=P(),
+        check_rep=False))
+
+    users = np.asarray(users, dtype=np.int32)
+    u = len(users)
+    pad = (-u) % user_batch
+    if pad:
+        users = np.concatenate([users, np.zeros(pad, users.dtype)])
+    out = [sweep(jnp.asarray(users[s:s + user_batch]), cache_p)
+           for s in range(0, len(users), user_batch)]
+    return np.asarray(jnp.concatenate(out))[:u]
+
+
 class TopKEvaluator:
     def __init__(self, config):
         self.config = config

@@ -490,7 +490,8 @@ class Trainer:
         """Full-catalog ranking -> TopKEvaluator metrics
         (reference trainer.py:476-503 + topk_evaluator.py)."""
         from foodrec_tpu.engine.topk_evaluator import (
-            TopKEvaluator, full_sort_topk)
+            TopKEvaluator, distributed_full_sort_topk, full_sort_topk)
+        from foodrec_tpu.models.base import GeneralRecommender
 
         ds = self.model.dataset
         if is_test:
@@ -502,10 +503,33 @@ class Trainer:
         pos_len = [len(p) for p in pos_items]
 
         evaluator = TopKEvaluator(self.config)
-        score_fn = self._score_fn_cached(params)
-        topk_index = full_sort_topk(score_fn, users, ds.num_items,
-                                    max(evaluator.topk),
-                                    user_batch=min(self.eval_batch_size, 64))
+        # item-sharded distributed sweep when config['mesh_shape'] has a
+        # 'model' axis and the model scores by cache dot-product (the base
+        # contract; custom scorers like SCHGN gather global item-side
+        # buffers and use the replicated sweep)
+        model = self.model
+        use_dist = (self.mesh is not None
+                    and self.mesh.shape.get("model", 1) > 1
+                    and type(model).score_from_cache
+                    is GeneralRecommender.score_from_cache)
+        if use_dist:
+            cache = self._cache_fn(params)
+
+            def score_local(cache_local, users_blk, cand_b):
+                # base score_from_cache reads only the cache (params unused)
+                return model.score_from_cache(None, cache_local, users_blk,
+                                              cand_b)
+
+            topk_index = distributed_full_sort_topk(
+                self.mesh, score_local, cache, users, ds.num_items,
+                max(evaluator.topk),
+                user_batch=min(self.eval_batch_size, 64))
+        else:
+            score_fn = self._score_fn_cached(params)
+            topk_index = full_sort_topk(score_fn, users, ds.num_items,
+                                        max(evaluator.topk),
+                                        user_batch=min(self.eval_batch_size,
+                                                       64))
         result = evaluator.evaluate(topk_index, (users, pos_items, pos_len),
                                     is_test=is_test, idx=idx)
         valid_metric = (self.config["valid_metric"] or "NDCG@20").lower()

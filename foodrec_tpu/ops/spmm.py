@@ -164,6 +164,7 @@ class Propagator:
     def __init__(self, adj: NormalizedAdjacency, impl="auto",
                  compute_dtype=None, _with_vjp=True):
         self.n_nodes = adj.n_nodes
+        self.adj = adj  # host-side; lets bench/gates rebuild impl variants
         # 'bfloat16' halves gather traffic on the edge-gathered activations
         # (~15% per hop measured at Foodcom scale); accumulation stays f32.
         # Default f32 keeps bit-parity with the reference normalization.

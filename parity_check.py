@@ -43,6 +43,118 @@ def ensure_dataset():
     return DS_ROOT + "/"
 
 
+# per-model config overrides needed on the tiny structured dataset (the
+# shipped yamls assume the real datasets, e.g. 2000 k-means clusters)
+MODEL_OVERRIDES = {"PRICAI_ModelX": {"n_cluster": SCALE["n_clusters"]}}
+
+
+def patch_scipy_dok():
+    """The reference adjacency builders call `dok_matrix._update(dict)`, a
+    scipy-internal API removed in modern scipy. The shim must route through
+    dok __setitem__ — `dict.update(self, d)` writes past scipy's internal
+    storage and leaves the matrix EMPTY, silently training every torch
+    reference model with a zeroed graph (this invalidated the round-1
+    parity numbers; see PARITY.md)."""
+    import scipy.sparse as sp
+
+    if not hasattr(sp.dok_matrix, "_update"):
+        def _update(self, d):
+            for k, v in d.items():
+                self[k] = v
+
+        sp.dok_matrix._update = _update
+
+
+def eval_score_matrix(scores, eval_set, neg_num, batch_size=128):
+    """Metrics from a host [U, C] candidate-score matrix through the same
+    by_user_metrics kernel both frameworks share."""
+    import jax.numpy as jnp
+
+    from foodrec_tpu.engine.evaluator import by_user_metrics
+
+    u = eval_set.n_users
+    out = {k: [] for k in ("auc", "recall@10", "recall@20",
+                           "ndcg@10", "ndcg@20")}
+    pad = (-u) % batch_size
+    sc = np.concatenate([scores, np.zeros((pad, scores.shape[1]),
+                                          scores.dtype)]) if pad else scores
+    n_pos = np.concatenate([eval_set.n_pos, np.zeros(pad, np.int32)])
+    n_cand = np.concatenate([eval_set.n_cand, np.zeros(pad, np.int32)])
+    for s in range(0, len(sc), batch_size):
+        m = by_user_metrics(jnp.asarray(sc[s:s + batch_size]),
+                            jnp.asarray(n_pos[s:s + batch_size]),
+                            jnp.asarray(n_cand[s:s + batch_size]),
+                            neg_num=neg_num)
+        for k, v in m.items():
+            out[k].append(np.asarray(v))
+    per = {k: np.concatenate(v)[:u] for k, v in out.items()}
+    return {"AUC": float(per["auc"].mean()),
+            "Recall@10": float(per["recall@10"].mean()),
+            "Recall@20": float(per["recall@20"].mean()),
+            "NDCG@10": float(per["ndcg@10"].mean()),
+            "NDCG@20": float(per["ndcg@20"].mean())}
+
+
+def torch_score_by_user(model, dataset, eval_set, users_per_call=64):
+    """Score an EvalSet with the reference model's own inference_by_user
+    (trainer.py:243-246 semantics) — needed for SCHGN, whose scorer is an
+    MLP over graph/attention features, not a user·item dot product.
+    Candidate blocks are flattened so each call pays the model's graph
+    forward once per block instead of once per user."""
+    import torch
+
+    u_count, width = eval_set.cand.shape
+    scores = np.full((u_count, width), -1e30, dtype=np.float32)
+    emb_img = np.asarray(dataset.embImage, dtype=np.float32)
+    codes = np.asarray(dataset.ingredientCodeDict, dtype=np.int64)
+    nums = np.asarray(dataset.ingredientNum, dtype=np.int64)
+    cal_arr = np.zeros(dataset.num_items, dtype=np.int64)
+    for k, v in dataset.cal_level.items():
+        cal_arr[k] = v
+
+    model.eval()
+    with torch.no_grad():
+        for s in range(0, u_count, users_per_call):
+            blk = eval_set.cand[s:s + users_per_call]          # [b, C]
+            b = blk.shape[0]
+            items = blk.reshape(-1).astype(np.int64)
+            batch = {
+                "user_input": torch.as_tensor(
+                    np.repeat(eval_set.users[s:s + b].astype(np.int64),
+                              width)),
+                "item_input": torch.as_tensor(items),
+                "img_input": torch.as_tensor(emb_img[items]),
+                "ingre_num_input": torch.as_tensor(nums[items]),
+                "ingre_input": torch.as_tensor(codes[items]),
+                "cal_level_input": torch.as_tensor(cal_arr[items]),
+            }
+            p = model.inference_by_user(batch).numpy().reshape(b, width)
+            scores[s:s + b] = p
+    return scores
+
+
+def reference_test_metrics(model, model_name, dataset, eval_set, neg_num):
+    """Model-appropriate reference eval: dot product of the propagated
+    embeddings where that IS the scoring rule, inference_by_user for SCHGN."""
+    import torch
+
+    if model_name == "SCHGN":
+        return eval_score_matrix(
+            torch_score_by_user(model, dataset, eval_set), eval_set, neg_num)
+    model.eval()
+    with torch.no_grad():
+        if model_name == "BM3":
+            # BM3 scores through the shared predictor (bm3.py:152-159)
+            u, i = model.gnn_encode()
+            out = (model.predictor(u), model.predictor(i))
+        elif model_name == "FGCN":
+            out = model.gnn_encode()  # fgcn.py:210-216 dot product
+        else:
+            out = model.forward()
+    return eval_embeddings(out[0].detach().numpy(), out[1].detach().numpy(),
+                           eval_set, neg_num)
+
+
 def eval_embeddings(user_emb, item_emb, eval_set, neg_num):
     """Score candidates from fixed embedding matrices with our evaluator."""
     import jax.numpy as jnp
@@ -86,7 +198,8 @@ def run_ours(data_path, model_name, epochs, seed):
     cfg = Config(model=model_name, dataset=DS,
                  config_dict={"data_path": data_path,
                               "neg_sample_num": SCALE["neg_num"],
-                              "seed": seed, "epochs": epochs})
+                              "seed": seed, "epochs": epochs,
+                              **MODEL_OVERRIDES.get(model_name, {})})
     derive_data_paths(cfg, DS)
     data = FoodData(cfg)
     data.device_data = DeviceData.from_food_data(data, cfg)
@@ -109,11 +222,10 @@ def run_ours(data_path, model_name, epochs, seed):
     jax.block_until_ready(parts)
     wall = time.time() - t0
 
-    # jitted + buffer-bound eval cache (same embeddings the trained eval
-    # path scores with; BM3's includes the predictor like inference_by_user)
-    user_emb, item_emb = trainer._cache_fn(params)[:2]
-    metrics = eval_embeddings(np.asarray(user_emb), np.asarray(item_emb),
-                              data.device_data.eval_test, SCALE["neg_num"])
+    # trainer's own by-user eval path (== eval_embeddings for dot-product
+    # models; SCHGN/BM3 route through their custom score_from_cache exactly
+    # like fit() does)
+    _, metrics = trainer._valid_by_user(params, data.device_data.eval_test)
     return metrics, wall, data
 
 
@@ -124,10 +236,7 @@ def run_reference(data_path, model_name, epochs, seed, eval_test):
     try:
         import torch
 
-        import scipy.sparse as sp
-
-        if not hasattr(sp.dok_matrix, "_update"):
-            sp.dok_matrix._update = lambda self, d: dict.update(self, d)
+        patch_scipy_dok()
 
         from FoodRec.utils.configurator import Config
 
@@ -135,7 +244,9 @@ def run_reference(data_path, model_name, epochs, seed, eval_test):
                         config_dict={"gpu_id": 0, "use_gpu": False,
                                      "data_path": data_path,
                                      "neg_sample_num": SCALE["neg_num"],
-                                     "epochs": epochs}, mg=False)
+                                     "epochs": epochs,
+                                     **MODEL_OVERRIDES.get(model_name, {})},
+                        mg=False)
         base = data_path + DS + "/processed_dataset/"
         config["interaction_data_path"] = base
         config["graph_data_path"] = base + "graph_edge/"
@@ -174,19 +285,8 @@ def run_reference(data_path, model_name, epochs, seed, eval_test):
             sched.step()
         wall = time.time() - t0
 
-        model.eval()
-        with torch.no_grad():
-            if model_name == "BM3":
-                # BM3 has no forward(); inference applies the predictor to
-                # the gnn encodings (reference bm3.py:152-159)
-                u, i = model.gnn_encode()
-                out = (model.predictor(u), model.predictor(i))
-            else:
-                out = model.forward()
-        user_emb = out[0].detach().numpy()
-        item_emb = out[1].detach().numpy()
-        metrics = eval_embeddings(user_emb, item_emb, eval_test,
-                                  SCALE["neg_num"])
+        metrics = reference_test_metrics(model, model_name, dataset,
+                                         eval_test, SCALE["neg_num"])
         return metrics, wall
     finally:
         os.chdir(cwd)
@@ -207,7 +307,8 @@ def run_ours_early_stop(data_path, model_name, epochs, seed, eval_each=10):
     cfg = Config(model=model_name, dataset=DS,
                  config_dict={"data_path": data_path,
                               "neg_sample_num": SCALE["neg_num"],
-                              "seed": seed, "epochs": epochs})
+                              "seed": seed, "epochs": epochs,
+                              **MODEL_OVERRIDES.get(model_name, {})})
     derive_data_paths(cfg, DS)
     data = FoodData(cfg)
     data.device_data = DeviceData.from_food_data(data, cfg)
@@ -224,12 +325,10 @@ def run_ours_early_stop(data_path, model_name, epochs, seed, eval_each=10):
             state["params"], state["opt"], _ = trainer._epoch_fn(
                 state["params"], state["opt"], k)
             state["epoch"] += 1
-        u, i = trainer._cache_fn(state["params"])[:2]
-        u, i = np.asarray(u), np.asarray(i)
-        v = eval_embeddings(u, i, data.device_data.eval_valid,
-                            SCALE["neg_num"])
-        t = eval_embeddings(u, i, data.device_data.eval_test,
-                            SCALE["neg_num"])
+        _, v = trainer._valid_by_user(state["params"],
+                                      data.device_data.eval_valid)
+        _, t = trainer._valid_by_user(state["params"],
+                                      data.device_data.eval_test)
         return v, t
 
     best, best_e = best_upon_valid(evaluate_at, epochs)
@@ -245,10 +344,7 @@ def run_reference_early_stop(data_path, model_name, epochs, seed, dd,
     try:
         import torch
 
-        import scipy.sparse as sp
-
-        if not hasattr(sp.dok_matrix, "_update"):
-            sp.dok_matrix._update = lambda self, d: dict.update(self, d)
+        patch_scipy_dok()
 
         from FoodRec.utils.configurator import Config
 
@@ -256,7 +352,9 @@ def run_reference_early_stop(data_path, model_name, epochs, seed, dd,
                         config_dict={"gpu_id": 0, "use_gpu": False,
                                      "data_path": data_path,
                                      "neg_sample_num": SCALE["neg_num"],
-                                     "epochs": epochs}, mg=False)
+                                     "epochs": epochs,
+                                     **MODEL_OVERRIDES.get(model_name, {})},
+                        mg=False)
         base = data_path + DS + "/processed_dataset/"
         config["interaction_data_path"] = base
         config["graph_data_path"] = base + "graph_edge/"
@@ -286,16 +384,6 @@ def run_reference_early_stop(data_path, model_name, epochs, seed, dd,
             ** (e / config["learning_rate_scheduler"][1]))
         state = {"epoch": 0}
 
-        def embeddings():
-            model.eval()
-            with torch.no_grad():
-                if model_name == "BM3":
-                    u, i = model.gnn_encode()
-                    out = (model.predictor(u), model.predictor(i))
-                else:
-                    out = model.forward()
-            return out[0].detach().numpy(), out[1].detach().numpy()
-
         def evaluate_at(n):
             model.train()
             while state["epoch"] < n:
@@ -306,13 +394,23 @@ def run_reference_early_stop(data_path, model_name, epochs, seed, dd,
                     opt.step()
                 sched.step()
                 state["epoch"] += 1
-            u, i = embeddings()
-            return (eval_embeddings(u, i, dd.eval_valid, SCALE["neg_num"]),
-                    eval_embeddings(u, i, dd.eval_test, SCALE["neg_num"]))
+            return (reference_test_metrics(model, model_name, dataset,
+                                           dd.eval_valid, SCALE["neg_num"]),
+                    reference_test_metrics(model, model_name, dataset,
+                                           dd.eval_test, SCALE["neg_num"]))
 
         return best_upon_valid(evaluate_at, epochs)
     finally:
         os.chdir(cwd)
+
+
+def _print_deltas(ours, ref):
+    deltas = {k: round(ours[k] - ref[k], 4) for k in ours}
+    rel = {k: (round((ours[k] - ref[k]) / ref[k] * 100, 2) if ref[k] else None)
+           for k in ours}
+    print("delta(abs):", json.dumps(deltas))
+    print("delta(%):  ", json.dumps(rel))
+    return rel
 
 
 def main():
@@ -320,38 +418,51 @@ def main():
     ap.add_argument("--model", default="LightGCN")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=999)
+    ap.add_argument("--seeds", default=None,
+                    help="comma list; runs every seed and reports mean/std "
+                         "of the relative deltas")
     ap.add_argument("--early_stop", action="store_true",
                     help="best-upon-valid protocol for both frameworks")
     args = ap.parse_args()
 
     data_path = ensure_dataset()
-    if args.early_stop:
-        ours, oe, data = run_ours_early_stop(data_path, args.model,
-                                             args.epochs, args.seed)
-        print(f"ours     (best@{oe:3d}ep): {json.dumps(ours)}", flush=True)
-        ref, re_ = run_reference_early_stop(data_path, args.model,
-                                            args.epochs, args.seed,
-                                            data.device_data)
-        print(f"reference(best@{re_:3d}ep): {json.dumps(ref)}", flush=True)
-        deltas = {k: round(ours[k] - ref[k], 4) for k in ours}
-        rel = {k: (round((ours[k] - ref[k]) / ref[k] * 100, 2)
-                   if ref[k] else None) for k in ours}
-        print("delta(abs):", json.dumps(deltas))
-        print("delta(%):  ", json.dumps(rel))
-        return
+    seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+             else [args.seed])
+    rels = []
+    for seed in seeds:
+        print(f"===== seed {seed} =====", flush=True)
+        if args.early_stop:
+            ours, oe, data = run_ours_early_stop(data_path, args.model,
+                                                 args.epochs, seed)
+            print(f"ours     (best@{oe:3d}ep): {json.dumps(ours)}",
+                  flush=True)
+            ref, re_ = run_reference_early_stop(data_path, args.model,
+                                                args.epochs, seed,
+                                                data.device_data)
+            print(f"reference(best@{re_:3d}ep): {json.dumps(ref)}",
+                  flush=True)
+            rels.append(_print_deltas(ours, ref))
+        else:
+            ours, ours_wall, data = run_ours(data_path, args.model,
+                                             args.epochs, seed)
+            print(f"ours     ({ours_wall:6.1f}s): {json.dumps(ours)}",
+                  flush=True)
+            ref, ref_wall = run_reference(data_path, args.model, args.epochs,
+                                          seed, data.device_data.eval_test)
+            print(f"reference({ref_wall:6.1f}s): {json.dumps(ref)}",
+                  flush=True)
+            rels.append(_print_deltas(ours, ref))
+            print(json.dumps(
+                {"speedup_vs_ref_cpu": round(ref_wall / ours_wall, 1)}))
 
-    ours, ours_wall, data = run_ours(data_path, args.model, args.epochs,
-                                     args.seed)
-    print(f"ours     ({ours_wall:6.1f}s): {json.dumps(ours)}", flush=True)
-    ref, ref_wall = run_reference(data_path, args.model, args.epochs,
-                                  args.seed, data.device_data.eval_test)
-    print(f"reference({ref_wall:6.1f}s): {json.dumps(ref)}", flush=True)
-    deltas = {k: round(ours[k] - ref[k], 4) for k in ours}
-    rel = {k: (round((ours[k] - ref[k]) / ref[k] * 100, 2) if ref[k] else None)
-           for k in ours}
-    print("delta(abs):", json.dumps(deltas))
-    print("delta(%):  ", json.dumps(rel))
-    print(json.dumps({"speedup_vs_ref_cpu": round(ref_wall / ours_wall, 1)}))
+    if len(rels) > 1:
+        keys = rels[0].keys()
+        mean = {k: round(float(np.mean([r[k] for r in rels])), 2)
+                for k in keys}
+        std = {k: round(float(np.std([r[k] for r in rels])), 2) for k in keys}
+        print(f"===== {len(rels)} seeds =====")
+        print("mean delta(%):", json.dumps(mean))
+        print("std  delta(%):", json.dumps(std))
 
 
 if __name__ == "__main__":

@@ -9,18 +9,18 @@ import numpy as np
 from tests.conftest import make_config
 
 
-def _setup(synth_root, overrides=None):
+def _setup(synth_root, overrides=None, model_name="LightGCN"):
     from foodrec_tpu.data.dataset import FoodData
     from foodrec_tpu.data.device import DeviceData
     from foodrec_tpu.engine.trainer import Trainer
     from foodrec_tpu.models import get_model
 
-    cfg, _ = make_config(synth_root, model="LightGCN", overrides={
+    cfg, _ = make_config(synth_root, model=model_name, overrides={
         "epochs": 2, "train_batch_size": 16, "seed": 999,
         **(overrides or {})})
     data = FoodData(cfg)
     data.device_data = DeviceData.from_food_data(data, cfg)
-    model = get_model("LightGCN")(cfg, data)
+    model = get_model(model_name)(cfg, data)
     return Trainer(cfg, model), model
 
 
@@ -37,6 +37,77 @@ def test_data_parallel_epoch_matches_single_device(synth_root):
     np.testing.assert_allclose(l0, l1, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_cikm_data_parallel_epoch_matches_single_device(synth_root):
+    """The flagship CIKM_Model (transformer + target attention + health head,
+    dropout keys included) must be mesh-safe: a data-parallel epoch on the
+    8-device mesh == the single-device epoch. SGD keeps the comparison
+    linear in the gradients — under Adam the first step is ~sign(g)*lr, so
+    elements with near-zero gradients flip on reduction-order float noise
+    (measured: 1 element of 12k off by 2*lr) and exactness stops being the
+    signal. Epoch loss parts are compared under both regardless."""
+    results = []
+    for mesh_shape in (None, {"data": 8}):
+        trainer = _setup(synth_root,
+                         {"mesh_shape": mesh_shape, "learner": "sgd"},
+                         model_name="CIKM_Model")[0]
+        model = trainer.model
+        params = model.init_params(jax.random.PRNGKey(5))
+        opt_state = trainer.optimizer.init(params)
+        params, _, parts = trainer._epoch_fn(params, opt_state,
+                                             jax.random.PRNGKey(6))
+        results.append((jax.tree.map(np.asarray, params), np.asarray(parts)))
+    (p0, l0), (p1, l1) = results
+    np.testing.assert_allclose(l0, l1, rtol=1e-4)
+    # global relative L2 + absolute cap: measured mesh-vs-single drift after
+    # an SGD epoch is ~1e-5 per element (f32 psum reordering on the
+    # health-BCE SUM, magnitude ~3e2); a semantic sharding bug
+    # (dropped/double-counted shard) is O(1) relative
+    diffs = np.concatenate([(a - b).ravel() for a, b in
+                            zip(jax.tree.leaves(p0), jax.tree.leaves(p1))])
+    ref = np.concatenate([a.ravel() for a in jax.tree.leaves(p0)])
+    assert np.linalg.norm(diffs) / np.linalg.norm(ref) < 1e-4
+    assert np.max(np.abs(diffs)) < 1e-3, np.max(np.abs(diffs))
+
+
+def test_distributed_full_sort_topk_matches_single_device(synth_root):
+    """Item-sharded full-rank eval (per-shard lax.top_k + cross-shard merge)
+    equals the replicated tiled sweep, and the trainer picks it behind
+    config['mesh_shape'] (SURVEY.md §7 step 8)."""
+    from foodrec_tpu.engine.topk_evaluator import (
+        distributed_full_sort_topk, full_sort_topk)
+    from foodrec_tpu.parallel.mesh import make_mesh
+
+    trainer, model = _setup(synth_root, {"full_sort": True,
+                                         "eval_by_user": False})
+    params = model.init_params(jax.random.PRNGKey(2))
+    cache = trainer._cache_fn(params)
+    n_items = model.dd.num_items
+    k = 20
+
+    def score_local(cache_local, users_blk, cand_b):
+        return model.score_from_cache(None, cache_local, users_blk, cand_b)
+
+    users = list(range(model.dd.num_users))
+    single = full_sort_topk(
+        lambda u, c: model.score_from_cache(None, cache, u, c),
+        users, n_items, k, user_batch=16)
+    mesh = make_mesh({"model": 8})
+    dist = distributed_full_sort_topk(mesh, score_local, cache, users,
+                                      n_items, k, user_batch=16)
+    np.testing.assert_array_equal(single, dist)
+
+    # trainer wiring: full-sort eval behind mesh_shape must give the same
+    # metric dict as the single-device path
+    t_single, _ = _setup(synth_root, {"full_sort": True,
+                                      "eval_by_user": False})
+    t_dist, _ = _setup(synth_root, {"full_sort": True, "eval_by_user": False,
+                                    "mesh_shape": {"data": 1, "model": 8}})
+    s0, r0 = t_single._valid_full_sort(params, is_test=True)
+    s1, r1 = t_dist._valid_full_sort(params, is_test=True)
+    assert r0 == r1
+    assert s0 == s1
 
 
 def test_param_sharding_rules(synth_root):
