@@ -65,6 +65,47 @@ def patch_scipy_dok():
         sp.dok_matrix._update = _update
 
 
+def install_torch_geometric_stub():
+    """torch_geometric is not installed here; the reference SCHGN only uses
+    `geometric.nn.GCNConv` (schgn.py:6,34,39) and immediately re-initializes
+    its weights, so a faithful pure-torch GCNConv (PyG gcn_norm semantics:
+    add self loops, deg on the target column, D^-1/2 A_hat D^-1/2, lin
+    before propagate, +bias) makes the reference runnable unmodified."""
+    import types
+
+    import torch
+
+    if "torch_geometric" in sys.modules:
+        return
+
+    class GCNConv(torch.nn.Module):
+        def __init__(self, in_channels, out_channels, bias=True):
+            super().__init__()
+            self.lin = torch.nn.Linear(in_channels, out_channels, bias=False)
+            self.bias = (torch.nn.Parameter(torch.zeros(out_channels))
+                         if bias else None)
+
+        def forward(self, x, edge_index):
+            n = x.size(0)
+            loop = torch.arange(n, dtype=edge_index.dtype)
+            src = torch.cat([edge_index[0], loop])
+            dst = torch.cat([edge_index[1], loop])
+            deg = torch.zeros(n).index_add_(
+                0, dst, torch.ones(dst.numel()))
+            dis = deg.clamp(min=1e-12).pow(-0.5)
+            w = dis[src] * dis[dst]
+            xw = self.lin(x)
+            out = torch.zeros_like(xw).index_add_(0, dst, xw[src] * w[:, None])
+            return out + self.bias if self.bias is not None else out
+
+    mod = types.ModuleType("torch_geometric")
+    nn_mod = types.ModuleType("torch_geometric.nn")
+    nn_mod.GCNConv = GCNConv
+    mod.nn = nn_mod
+    sys.modules["torch_geometric"] = mod
+    sys.modules["torch_geometric.nn"] = nn_mod
+
+
 def eval_score_matrix(scores, eval_set, neg_num, batch_size=128):
     """Metrics from a host [U, C] candidate-score matrix through the same
     by_user_metrics kernel both frameworks share."""
@@ -237,6 +278,7 @@ def run_reference(data_path, model_name, epochs, seed, eval_test):
         import torch
 
         patch_scipy_dok()
+        install_torch_geometric_stub()
 
         from FoodRec.utils.configurator import Config
 
@@ -345,6 +387,7 @@ def run_reference_early_stop(data_path, model_name, epochs, seed, dd,
         import torch
 
         patch_scipy_dok()
+        install_torch_geometric_stub()
 
         from FoodRec.utils.configurator import Config
 
@@ -423,37 +466,77 @@ def main():
                          "of the relative deltas")
     ap.add_argument("--early_stop", action="store_true",
                     help="best-upon-valid protocol for both frameworks")
+    ap.add_argument("--side", default="both",
+                    choices=["both", "ours", "ref"],
+                    help="split execution: 'ours' trains the TPU side and "
+                         "caches metrics under /tmp/foodrec_parity/results; "
+                         "'ref' (run with JAX_PLATFORMS=cpu) trains the "
+                         "torch side, loads the cache, prints deltas")
     args = ap.parse_args()
 
     data_path = ensure_dataset()
     seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
              else [args.seed])
+    res_dir = os.path.join(DS_ROOT, "results")
+    os.makedirs(res_dir, exist_ok=True)
+
+    def cache_path(seed):
+        proto = "es" if args.early_stop else f"fix{args.epochs}"
+        return os.path.join(res_dir, f"{args.model}_{seed}_{proto}.json")
+
+    def build_eval_sets():
+        """Host-side eval sets for a ref-only process (no TPU touched)."""
+        from foodrec_tpu.config import Config
+        from foodrec_tpu.data.dataset import FoodData, derive_data_paths
+        from foodrec_tpu.data.device import DeviceData
+
+        cfg = Config(model="LightGCN", dataset=DS,
+                     config_dict={"data_path": data_path,
+                                  "neg_sample_num": SCALE["neg_num"]})
+        derive_data_paths(cfg, DS)
+        data = FoodData(cfg)
+        return DeviceData.from_food_data(data, cfg)
+
     rels = []
+    dd_cached = None
     for seed in seeds:
         print(f"===== seed {seed} =====", flush=True)
-        if args.early_stop:
-            ours, oe, data = run_ours_early_stop(data_path, args.model,
+        ours = ref = None
+        if args.side in ("both", "ours"):
+            if args.early_stop:
+                ours, oe, data = run_ours_early_stop(data_path, args.model,
+                                                     args.epochs, seed)
+                print(f"ours     (best@{oe:3d}ep): {json.dumps(ours)}",
+                      flush=True)
+            else:
+                ours, ours_wall, data = run_ours(data_path, args.model,
                                                  args.epochs, seed)
-            print(f"ours     (best@{oe:3d}ep): {json.dumps(ours)}",
-                  flush=True)
+                print(f"ours     ({ours_wall:6.1f}s): {json.dumps(ours)}",
+                      flush=True)
+            dd_cached = data.device_data
+            with open(cache_path(seed), "w") as f:
+                json.dump(ours, f)
+        if args.side == "ours":
+            continue
+        if args.side == "ref":
+            with open(cache_path(seed)) as f:
+                ours = json.load(f)
+            print(f"ours     (cached):  {json.dumps(ours)}", flush=True)
+            if dd_cached is None:
+                dd_cached = build_eval_sets()
+        if args.early_stop:
             ref, re_ = run_reference_early_stop(data_path, args.model,
                                                 args.epochs, seed,
-                                                data.device_data)
+                                                dd_cached)
             print(f"reference(best@{re_:3d}ep): {json.dumps(ref)}",
                   flush=True)
             rels.append(_print_deltas(ours, ref))
         else:
-            ours, ours_wall, data = run_ours(data_path, args.model,
-                                             args.epochs, seed)
-            print(f"ours     ({ours_wall:6.1f}s): {json.dumps(ours)}",
-                  flush=True)
             ref, ref_wall = run_reference(data_path, args.model, args.epochs,
-                                          seed, data.device_data.eval_test)
+                                          seed, dd_cached.eval_test)
             print(f"reference({ref_wall:6.1f}s): {json.dumps(ref)}",
                   flush=True)
             rels.append(_print_deltas(ours, ref))
-            print(json.dumps(
-                {"speedup_vs_ref_cpu": round(ref_wall / ours_wall, 1)}))
 
     if len(rels) > 1:
         keys = rels[0].keys()
