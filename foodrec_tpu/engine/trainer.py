@@ -211,8 +211,8 @@ class Trainer:
         if probe_on:
             from foodrec_tpu.utils.diagnostics import embedding_cos_similarity
         # chunk the per-epoch scan: K steps per jit call, host loop over
-        # chunks (bounds compile-unit size; semantics identical because
-        # overflow steps skip the optimizer update entirely)
+        # chunks (bounds compile-unit size; semantics identical because the
+        # final ragged chunk is compiled at its exact step count)
         chunk = self.config["epoch_scan_chunk"]
         chunk = n_batches if not chunk else min(int(chunk), n_batches)
         n_chunks = -(-n_batches // chunk)
@@ -262,44 +262,53 @@ class Trainer:
             else:
                 new_params, new_opt = apply_update(params, opt_state, grads)
 
-            # overflow steps of the final ragged chunk are no-ops
-            live = batch_idx < n_batches
-            params = jax.tree.map(
-                lambda new, old: jnp.where(live, new, old), new_params, params)
-            opt_state = jax.tree.map(
-                lambda new, old: jnp.where(live, new, old), new_opt, opt_state)
-            parts = jnp.where(live, parts, jnp.zeros_like(parts))
             out = parts
             if probe_on:
-                emb = model.diagnostic_embeddings(params)
+                emb = model.diagnostic_embeddings(new_params)
                 if emb is not None:
                     gemb = model.diagnostic_embeddings(grads)
                     sim = jnp.stack(embedding_cos_similarity(*emb, *gemb))
                 else:
                     sim = jnp.zeros((6,), jnp.float32)
-                out = (parts, jnp.where(live, sim, jnp.zeros_like(sim)))
-            return (params, opt_state, perm, k_steps,
+                out = (parts, sim)
+            return (new_params, new_opt, perm, k_steps,
                     train_u, train_i, excl), out
 
         @jax.jit
         def perm_fn(key):
             perm = jax.random.permutation(key, n_train)
-            pad = n_batches * bs - n_train
-            return jnp.concatenate([perm, perm[:pad]]).astype(jnp.int32)
+            # cyclic pad to the scan length; padded positions carry zero
+            # sample weight so only the true n_train samples contribute
+            return jnp.resize(perm, n_batches * bs).astype(jnp.int32)
 
         # donate params/opt_state: the epoch loop reassigns them, and without
         # donation the XL-catalog adam state (A~10GB) double-buffers past HBM
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def chunk_fn(params, opt_state, perm, k_steps, chunk_idx, buffers,
-                     train_u, train_i, excl):
-            with model.bind(buffers):
-                (params, opt_state, *_), out = jax.lax.scan(
-                    train_step,
-                    (params, opt_state, perm, k_steps, train_u, train_i,
-                     excl),
-                    chunk_idx * chunk + jnp.arange(chunk))
-            return params, opt_state, jax.tree.map(
-                lambda x: jnp.sum(x, axis=0), out)
+        # The final ragged chunk is compiled at its EXACT length (second jit
+        # variant) instead of masking overflow steps with a jnp.where over
+        # every param/opt leaf — that where was a full optimizer-state HBM
+        # sweep per step (~16% of the CIKM Foodcom epoch, see PARITY.md).
+        def make_chunk_fn(length):
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def chunk_fn(params, opt_state, perm, k_steps, start, buffers,
+                         train_u, train_i, excl):
+                with model.bind(buffers):
+                    # fresh body-fn object per trace: lax.scan caches the body
+                    # jaxpr by (function identity, per-step avals) — identical
+                    # across the two chunk-length variants — and the cached
+                    # jaxpr's constants are THIS trace's bound-buffer tracers,
+                    # which must not leak into the other variant's trace
+                    (params, opt_state, *_), out = jax.lax.scan(
+                        lambda c, b: train_step(c, b),
+                        (params, opt_state, perm, k_steps, train_u, train_i,
+                         excl),
+                        start + jnp.arange(length))
+                return params, opt_state, jax.tree.map(
+                    lambda x: jnp.sum(x, axis=0), out)
+            return chunk_fn
+
+        chunk_fns = {}
+        chunk_lens = [chunk] * (n_chunks - 1)
+        chunk_lens.append(n_batches - chunk * (n_chunks - 1))
 
         def epoch_fn(params, opt_state, key, buffers, train_u, train_i, excl):
             k_perm, k_steps = jax.random.split(key)
@@ -307,9 +316,12 @@ class Trainer:
             loss_parts = None
             sim_total = None
             for c in range(n_chunks):
-                params, opt_state, out = chunk_fn(
-                    params, opt_state, perm, k_steps, jnp.int32(c), buffers,
-                    train_u, train_i, excl)
+                ln = chunk_lens[c]
+                if ln not in chunk_fns:
+                    chunk_fns[ln] = make_chunk_fn(ln)
+                params, opt_state, out = chunk_fns[ln](
+                    params, opt_state, perm, k_steps, jnp.int32(c * chunk),
+                    buffers, train_u, train_i, excl)
                 if probe_on:
                     parts, sim = out
                     sim_total = sim if sim_total is None else sim_total + sim

@@ -11,11 +11,14 @@ Three implementations behind one Propagator interface:
                  Best when max degree is bounded (ingredient/cluster graphs,
                  degree <= 20).
   * `segment`  — sorted-COO gather + jax.ops.segment_sum. General fallback.
-  * `pallas`   — MXU one-hot-matmul reduction: edges are pre-gathered/weighted
-                 by XLA (fused gather+mul), then a Pallas kernel reduces each
-                 row-panel with dense [E_BLK, PANEL] one-hot matmuls instead of
-                 scatter-adds. Scatter is the slow path on TPU; trading it for
-                 MXU FLOPs is the idiomatic win.
+  * `pallas`   — MXU weighted-one-hot reduction: edge activations are
+                 pre-gathered by XLA (one pure-gather pass), then a Pallas
+                 kernel reduces each row-panel with dense [E_BLK, PANEL]
+                 selection matmuls that carry the adjacency values, instead
+                 of scatter-adds. Scatter is the slow path on TPU; trading it
+                 for MXU FLOPs is the idiomatic win. The grid is flat over
+                 occupied edge blocks (scalar-prefetched block->panel map), so
+                 power-law hub rows don't inflate idle grid steps.
 """
 
 import functools
@@ -58,8 +61,14 @@ ROW_PANEL = 256    # output rows per panel (one-hot matmul N dimension)
 def _panelize(rows, n_rows):
     """Repartition sorted edges so no EDGE_BLOCK spans two row panels.
 
-    Returns (edge_perm, pad_to, panel_start_block, panel_n_blocks) where
-    edge_perm indexes (with -1 padding) into the original edge arrays.
+    Returns (edge_perm, panel_ids) where edge_perm indexes (with -1 padding)
+    into the original edge arrays and panel_ids[b] is the output row-panel of
+    edge block b. The grid is FLAT over occupied blocks — power-law degree
+    distributions make a dense (panel, max_blocks_per_panel) grid mostly idle
+    (the hub panel sets max_blocks; measured ~5x wasted DMA steps on the
+    Foodcom ui/ri graphs), so each block instead carries its own panel id as
+    a scalar-prefetch lookup. Empty panels still get one all-padding block so
+    their output rows are zero-initialized.
     """
     n_panels = -(-n_rows // ROW_PANEL)
     panel_of_edge = rows // ROW_PANEL
@@ -75,31 +84,35 @@ def _panelize(rows, n_rows):
         s = starts[p] * EDGE_BLOCK
         perm[s:s + counts[p]] = np.arange(edge_starts[p],
                                           edge_starts[p] + counts[p])
-    return perm, starts.astype(np.int32), blocks.astype(np.int32)
+    panel_ids = np.repeat(np.arange(n_panels, dtype=np.int32), blocks)
+    return perm, panel_ids
 
 
-def _spmm_pallas_kernel(start_ref, nblk_ref, lrow_ref, xg_ref, out_ref):
-    j = pl.program_id(1)
+def _spmm_pallas_kernel(panel_ref, lrow_ref, val_ref, xg_ref, out_ref):
+    j = pl.program_id(0)
+    p = panel_ref[j]
+    prev = jnp.where(j == 0, -1, panel_ref[jnp.maximum(j - 1, 0)])
 
-    @pl.when(j == 0)
+    @pl.when(p != prev)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    p = pl.program_id(0)
-
-    @pl.when(j < nblk_ref[p])
-    def _():
-        lrows = lrow_ref[:]  # [E_BLK, 1] local row ids (or -1 padding)
-        onehot = (lrows == jax.lax.broadcasted_iota(
-            jnp.int32, (EDGE_BLOCK, ROW_PANEL), 1)).astype(jnp.float32)
-        out_ref[:] += jax.lax.dot_general(
-            onehot, xg_ref[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            # full-f32 MXU passes: the adjacency values must not round to bf16
-            # or propagation drifts from the reference normalization
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    # weighted one-hot: row-selection matrix carrying the adjacency values,
+    # so the edge scaling rides the MXU pass instead of a separate HBM
+    # read-modify-write over the gathered activations
+    lrows = lrow_ref[:]  # [E_BLK, 1] local row ids (or -1 padding)
+    sel = jnp.where(
+        lrows == jax.lax.broadcasted_iota(
+            jnp.int32, (EDGE_BLOCK, ROW_PANEL), 1),
+        val_ref[:], jnp.float32(0.0))
+    out_ref[:] += jax.lax.dot_general(
+        sel, xg_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # full-f32 MXU passes: the adjacency values must not round to bf16
+        # or propagation drifts from the reference normalization
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _interpret_mode():
@@ -108,25 +121,29 @@ def _interpret_mode():
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "max_blocks"))
-def _spmm_pallas_call(local_rows, starts, nblocks, xg, n_rows, max_blocks):
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def _spmm_pallas_call(local_rows, vals, panel_ids, xg, n_rows):
     n_panels = -(-n_rows // ROW_PANEL)
+    total_blocks = panel_ids.shape[0]
     d = xg.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_panels, max_blocks),
+        num_scalar_prefetch=1,
+        grid=(total_blocks,),
         in_specs=[
             pl.BlockSpec((EDGE_BLOCK, 1),
-                         lambda p, j, starts, nblk: (
-                             starts[p] + jnp.minimum(j, nblk[p] - 1), 0),
+                         lambda j, panel: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EDGE_BLOCK, 1),
+                         lambda j, panel: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((EDGE_BLOCK, d),
-                         lambda p, j, starts, nblk: (
-                             starts[p] + jnp.minimum(j, nblk[p] - 1), 0),
+                         lambda j, panel: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
+        # consecutive blocks of one panel revisit the same out block; Mosaic
+        # keeps it resident in VMEM and writes back on the panel switch
         out_specs=pl.BlockSpec((ROW_PANEL, d),
-                               lambda p, j, starts, nblk: (p, 0),
+                               lambda j, panel: (panel[j], 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
@@ -139,7 +156,7 @@ def _spmm_pallas_call(local_rows, starts, nblocks, xg, n_rows, max_blocks):
             bytes_accessed=xg.size * 4 + n_panels * ROW_PANEL * d * 4,
             transcendentals=0,
         ),
-    )(starts, nblocks, local_rows, xg)
+    )(panel_ids, local_rows, vals, xg)
     return out[:n_rows]
 
 
@@ -218,19 +235,17 @@ class Propagator:
                        "cols": jnp.asarray(adj.cols),
                        "vals": jnp.asarray(adj.vals)}
         elif impl == "pallas":
-            perm, starts, nblocks = _panelize(adj.rows, adj.n_nodes)
+            perm, panel_ids = _panelize(adj.rows, adj.n_nodes)
             safe = np.maximum(perm, 0)
             cols_p = adj.cols[safe].astype(np.int64)
             vals_p = np.where(perm >= 0, adj.vals[safe], 0.0).astype(np.float32)
             lrows = np.where(perm >= 0, adj.rows[safe] % ROW_PANEL, -1)
             self.st = {
                 "cols_p": jnp.asarray(cols_p),
-                "vals_p": jnp.asarray(vals_p),
+                "vals_p": jnp.asarray(vals_p.reshape(-1, 1)),
                 "local_rows": jnp.asarray(lrows.astype(np.int32).reshape(-1, 1)),
-                "starts": jnp.asarray(starts),
-                "nblocks": jnp.asarray(nblocks),
+                "panel_ids": jnp.asarray(panel_ids),
             }
-            self.max_blocks = int(nblocks.max())
         else:
             raise ValueError(f"unknown spmm impl: {impl}")
 
@@ -259,12 +274,12 @@ class Propagator:
             vals = st["vals"].astype(dt) if dt is not None else st["vals"]
             return spmm_coo(st["rows"], st["cols"], vals, xc,
                             self.n_nodes).astype(jnp.float32)
-        # pallas: XLA fuses the gather+scale, the kernel does the reduction
-        vals = st["vals_p"].astype(dt) if dt is not None else st["vals_p"]
-        xg = xc[st["cols_p"]] * vals[:, None]
-        return _spmm_pallas_call(st["local_rows"], st["starts"],
-                                 st["nblocks"], xg.astype(jnp.float32),
-                                 self.n_nodes, self.max_blocks)
+        # pallas: XLA does only the row gather; the edge scaling is folded
+        # into the kernel's selection matrix (one HBM pass instead of two)
+        xg = xc[st["cols_p"]]
+        return _spmm_pallas_call(st["local_rows"], st["vals_p"],
+                                 st["panel_ids"], xg.astype(jnp.float32),
+                                 self.n_nodes)
 
     def __call__(self, x):
         return self._apply(x)
