@@ -57,8 +57,36 @@ def spmm_ell(ell_cols, ell_vals, x):
 EDGE_BLOCK = 512   # edges per kernel step
 ROW_PANEL = 256    # output rows per panel (one-hot matmul N dimension)
 
+# MXU pass-count strategy for the f32 selection matmul. "highest" = Mosaic's
+# full f32 emulation; "3pass" = manual bf16 hi/lo split keeping the three
+# leading cross terms (Mosaic has no native HIGH lowering). Measured on the
+# Foodcom-shaped graph (tools/spmm_microbench.py): fwd 3.27/3.14/3.10ms for
+# highest/3pass/default — the kernel is DMA/grid-bound, not MXU-bound, so
+# the full-precision passes are effectively free. Keep "highest".
+MXU_PRECISION = "highest"
 
-def _panelize(rows, n_rows):
+
+def _dot_rowsum(sel, x, precision):
+    """sel^T @ x with a selectable f32 emulation strategy (see MXU_PRECISION)."""
+    dn = (((0,), (0,)), ((), ()))
+    if precision == "3pass":
+        s_hi = sel.astype(jnp.bfloat16)
+        s_lo = (sel - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        x_hi = x.astype(jnp.bfloat16)
+        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        kw = dict(dimension_numbers=dn,
+                  preferred_element_type=jnp.float32)
+        return (jax.lax.dot_general(s_hi, x_hi, **kw)
+                + jax.lax.dot_general(s_hi, x_lo, **kw)
+                + jax.lax.dot_general(s_lo, x_hi, **kw))
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(sel, x, dimension_numbers=dn,
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+
+
+def _panelize(rows, n_rows, edge_block=None, row_panel=None):
     """Repartition sorted edges so no EDGE_BLOCK spans two row panels.
 
     Returns (edge_perm, panel_ids) where edge_perm indexes (with -1 padding)
@@ -70,25 +98,28 @@ def _panelize(rows, n_rows):
     a scalar-prefetch lookup. Empty panels still get one all-padding block so
     their output rows are zero-initialized.
     """
-    n_panels = -(-n_rows // ROW_PANEL)
-    panel_of_edge = rows // ROW_PANEL
+    eb = edge_block or EDGE_BLOCK
+    rp = row_panel or ROW_PANEL
+    n_panels = -(-n_rows // rp)
+    panel_of_edge = rows // rp
     counts = np.bincount(panel_of_edge, minlength=n_panels)
-    blocks = -(-counts // EDGE_BLOCK)
+    blocks = -(-counts // eb)
     blocks = np.maximum(blocks, 1)
     starts = np.concatenate([[0], np.cumsum(blocks)[:-1]])
     total_blocks = int(blocks.sum())
 
-    perm = np.full(total_blocks * EDGE_BLOCK, -1, dtype=np.int64)
+    perm = np.full(total_blocks * eb, -1, dtype=np.int64)
     edge_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     for p in range(n_panels):
-        s = starts[p] * EDGE_BLOCK
+        s = starts[p] * eb
         perm[s:s + counts[p]] = np.arange(edge_starts[p],
                                           edge_starts[p] + counts[p])
     panel_ids = np.repeat(np.arange(n_panels, dtype=np.int32), blocks)
     return perm, panel_ids
 
 
-def _spmm_pallas_kernel(panel_ref, lrow_ref, val_ref, xg_ref, out_ref):
+def _spmm_pallas_kernel(panel_ref, lrow_ref, val_ref, xg_ref, out_ref,
+                        *, precision, edge_block, row_panel):
     j = pl.program_id(0)
     p = panel_ref[j]
     prev = jnp.where(j == 0, -1, panel_ref[jnp.maximum(j - 1, 0)])
@@ -103,16 +134,12 @@ def _spmm_pallas_kernel(panel_ref, lrow_ref, val_ref, xg_ref, out_ref):
     lrows = lrow_ref[:]  # [E_BLK, 1] local row ids (or -1 padding)
     sel = jnp.where(
         lrows == jax.lax.broadcasted_iota(
-            jnp.int32, (EDGE_BLOCK, ROW_PANEL), 1),
+            jnp.int32, (edge_block, row_panel), 1),
         val_ref[:], jnp.float32(0.0))
-    out_ref[:] += jax.lax.dot_general(
-        sel, xg_ref[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        # full-f32 MXU passes: the adjacency values must not round to bf16
-        # or propagation drifts from the reference normalization
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    # the adjacency values must not round to a single bf16 pass or
+    # propagation drifts from the reference normalization; pass count
+    # (full f32 vs 3-pass bf16) is configured via MXU_PRECISION
+    out_ref[:] += _dot_rowsum(sel, xg_ref[:], precision)
 
 
 def _interpret_mode():
@@ -121,39 +148,46 @@ def _interpret_mode():
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows",))
-def _spmm_pallas_call(local_rows, vals, panel_ids, xg, n_rows):
-    n_panels = -(-n_rows // ROW_PANEL)
+@functools.partial(jax.jit, static_argnames=("n_rows", "precision",
+                                             "edge_block", "row_panel"))
+def _spmm_pallas_call(local_rows, vals, panel_ids, xg, n_rows,
+                      precision=None, edge_block=None, row_panel=None):
+    eb = edge_block or EDGE_BLOCK
+    rp = row_panel or ROW_PANEL
+    n_panels = -(-n_rows // rp)
     total_blocks = panel_ids.shape[0]
     d = xg.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(total_blocks,),
         in_specs=[
-            pl.BlockSpec((EDGE_BLOCK, 1),
+            pl.BlockSpec((eb, 1),
                          lambda j, panel: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((EDGE_BLOCK, 1),
+            pl.BlockSpec((eb, 1),
                          lambda j, panel: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((EDGE_BLOCK, d),
+            pl.BlockSpec((eb, d),
                          lambda j, panel: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         # consecutive blocks of one panel revisit the same out block; Mosaic
         # keeps it resident in VMEM and writes back on the panel switch
-        out_specs=pl.BlockSpec((ROW_PANEL, d),
+        out_specs=pl.BlockSpec((rp, d),
                                lambda j, panel: (panel[j], 0),
                                memory_space=pltpu.VMEM),
     )
+    if precision is None:
+        precision = MXU_PRECISION
     out = pl.pallas_call(
-        _spmm_pallas_kernel,
+        functools.partial(_spmm_pallas_kernel, precision=precision,
+                          edge_block=eb, row_panel=rp),
         grid_spec=grid_spec,
         interpret=_interpret_mode(),
-        out_shape=jax.ShapeDtypeStruct((n_panels * ROW_PANEL, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_panels * rp, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * local_rows.shape[0] * ROW_PANEL * d,
-            bytes_accessed=xg.size * 4 + n_panels * ROW_PANEL * d * 4,
+            flops=2 * local_rows.shape[0] * rp * d,
+            bytes_accessed=xg.size * 4 + n_panels * rp * d * 4,
             transcendentals=0,
         ),
     )(panel_ids, local_rows, vals, xg)
@@ -187,6 +221,12 @@ class Propagator:
         # Default f32 keeps bit-parity with the reference normalization.
         self.compute_dtype = (jnp.bfloat16 if str(compute_dtype) == "bfloat16"
                               else None)
+        # captured at construction so each Propagator owns its pass count
+        # and block geometry (module globals read once; static jit args
+        # downstream — tools/spmm_microbench.py sweeps them)
+        self.mxu_precision = MXU_PRECISION
+        self.edge_block = EDGE_BLOCK
+        self.row_panel = ROW_PANEL
         if impl == "auto":
             # ELL reads n_nodes*max_degree padded slots; only worth it when
             # padding inflation is small. Otherwise the pallas kernel (exact
@@ -235,11 +275,12 @@ class Propagator:
                        "cols": jnp.asarray(adj.cols),
                        "vals": jnp.asarray(adj.vals)}
         elif impl == "pallas":
-            perm, panel_ids = _panelize(adj.rows, adj.n_nodes)
+            perm, panel_ids = _panelize(adj.rows, adj.n_nodes,
+                                        self.edge_block, self.row_panel)
             safe = np.maximum(perm, 0)
             cols_p = adj.cols[safe].astype(np.int64)
             vals_p = np.where(perm >= 0, adj.vals[safe], 0.0).astype(np.float32)
-            lrows = np.where(perm >= 0, adj.rows[safe] % ROW_PANEL, -1)
+            lrows = np.where(perm >= 0, adj.rows[safe] % self.row_panel, -1)
             self.st = {
                 "cols_p": jnp.asarray(cols_p),
                 "vals_p": jnp.asarray(vals_p.reshape(-1, 1)),
@@ -279,7 +320,10 @@ class Propagator:
         xg = xc[st["cols_p"]]
         return _spmm_pallas_call(st["local_rows"], st["vals_p"],
                                  st["panel_ids"], xg.astype(jnp.float32),
-                                 self.n_nodes)
+                                 self.n_nodes,
+                                 precision=self.mxu_precision,
+                                 edge_block=self.edge_block,
+                                 row_panel=self.row_panel)
 
     def __call__(self, x):
         return self._apply(x)
