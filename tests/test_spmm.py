@@ -147,3 +147,47 @@ def test_bf16_compute_dtype_close_to_f32(random_graph, rng, impl):
                                  compute_dtype="bfloat16")(x))
     assert bf16.dtype == np.float32
     np.testing.assert_allclose(bf16, f32, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("eb,rp", [(16, 8), (64, 32), (8, 64)])
+def test_pallas_block_geometry_parameterization(random_graph, rng, eb, rp):
+    """The pallas kernel's edge-block / row-panel geometry is configurable
+    (tools/spmm_microbench.py sweeps it); any geometry must give the same
+    result as scipy."""
+    import foodrec_tpu.ops.spmm as spmm_mod
+
+    rows, cols, n = random_graph
+    adj = sym_normalized_adjacency(rows, cols, n)
+    x = rng.standard_normal((n, 12)).astype(np.float32)
+    ref = _reference_sym_norm(rows, cols, n) @ x
+    old = spmm_mod.EDGE_BLOCK, spmm_mod.ROW_PANEL
+    try:
+        spmm_mod.EDGE_BLOCK, spmm_mod.ROW_PANEL = eb, rp
+        prop = Propagator(adj, impl="pallas")
+        assert (prop.edge_block, prop.row_panel) == (eb, rp)
+        out = np.asarray(prop(x))
+    finally:
+        spmm_mod.EDGE_BLOCK, spmm_mod.ROW_PANEL = old
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("precision", ["highest", "3pass", "default"])
+def test_pallas_precision_strategies(random_graph, rng, precision):
+    """All MXU emulation strategies must stay within their documented error
+    envelopes ('default' = single bf16 pass is NOT parity-grade; the other
+    two are)."""
+    import foodrec_tpu.ops.spmm as spmm_mod
+
+    rows, cols, n = random_graph
+    adj = sym_normalized_adjacency(rows, cols, n)
+    x = rng.standard_normal((n, 12)).astype(np.float32)
+    ref = _reference_sym_norm(rows, cols, n) @ x
+    old = spmm_mod.MXU_PRECISION
+    try:
+        spmm_mod.MXU_PRECISION = precision
+        out = np.asarray(Propagator(adj, impl="pallas")(x))
+    finally:
+        spmm_mod.MXU_PRECISION = old
+    scale = np.abs(ref).max() or 1.0
+    err = np.abs(out - ref).max() / scale
+    assert err < (2e-2 if precision == "default" else 1e-5), err
