@@ -217,12 +217,24 @@ class Trainer:
         chunk = n_batches if not chunk else min(int(chunk), n_batches)
         n_chunks = -(-n_batches // chunk)
 
-        def train_step(carry, batch_idx):
+        # rem > 0 → the last batch of the epoch runs at its EXACT size
+        # (reference DataLoader semantics: the final batch is smaller, not
+        # cyclically padded). Padding with zero sample-weight is exact for
+        # per-sample losses but NOT for batch-statistics losses (PRICAI's
+        # dCor computes pairwise distances over the whole batch —
+        # wrap-around duplicates bias it). Under a mesh the remainder batch
+        # generally doesn't divide the 'data' axis; XLA SPMD supports the
+        # uneven sharding (internally padded, semantics exact).
+        rem = n_train - (n_batches - 1) * bs
+        exact_tail = 0 < rem < bs
+
+        def make_train_step(step_bs):
+          def train_step(carry, batch_idx):
             params, opt_state, perm, k_steps, train_u, train_i, excl = carry
             key = jax.random.fold_in(k_steps, batch_idx)
             start = batch_idx * bs
-            idx = jax.lax.dynamic_slice_in_dim(perm, start, bs)
-            weight = (start + jnp.arange(bs)) < n_train
+            idx = jax.lax.dynamic_slice_in_dim(perm, start, step_bs)
+            weight = (start + jnp.arange(step_bs)) < n_train
             u = train_u[idx]
             i = train_i[idx]
             k_neg, k_model = jax.random.split(key)
@@ -273,10 +285,17 @@ class Trainer:
                 out = (parts, sim)
             return (new_params, new_opt, perm, k_steps,
                     train_u, train_i, excl), out
+          return train_step
+
+        train_step = make_train_step(bs)
+        tail_step = make_train_step(rem) if exact_tail else None
 
         @jax.jit
         def perm_fn(key):
             perm = jax.random.permutation(key, n_train)
+            if exact_tail:
+                # exact coverage: every scan/tail slice stays in-bounds
+                return perm.astype(jnp.int32)
             # cyclic pad to the scan length; padded positions carry zero
             # sample weight so only the true n_train samples contribute
             return jnp.resize(perm, n_batches * bs).astype(jnp.int32)
@@ -287,7 +306,10 @@ class Trainer:
         # variant) instead of masking overflow steps with a jnp.where over
         # every param/opt leaf — that where was a full optimizer-state HBM
         # sweep per step (~16% of the CIKM Foodcom epoch, see PARITY.md).
-        def make_chunk_fn(length):
+        def make_chunk_fn(length, with_tail=False):
+            # with_tail: this is the epoch's final chunk and the epoch has a
+            # partial last batch — run `length` full-size steps in the scan,
+            # then the remainder-size step once at its exact shape
             @functools.partial(jax.jit, donate_argnums=(0, 1))
             def chunk_fn(params, opt_state, perm, k_steps, start, buffers,
                          train_u, train_i, excl):
@@ -297,18 +319,23 @@ class Trainer:
                     # across the two chunk-length variants — and the cached
                     # jaxpr's constants are THIS trace's bound-buffer tracers,
                     # which must not leak into the other variant's trace
-                    (params, opt_state, *_), out = jax.lax.scan(
+                    carry = (params, opt_state, perm, k_steps, train_u,
+                             train_i, excl)
+                    carry, out = jax.lax.scan(
                         lambda c, b: train_step(c, b),
-                        (params, opt_state, perm, k_steps, train_u, train_i,
-                         excl),
-                        start + jnp.arange(length))
-                return params, opt_state, jax.tree.map(
-                    lambda x: jnp.sum(x, axis=0), out)
+                        carry, start + jnp.arange(length))
+                    out = jax.tree.map(lambda x: jnp.sum(x, axis=0), out)
+                    if with_tail:
+                        carry, tail_out = tail_step(
+                            carry, jnp.int32(n_batches - 1))
+                        out = jax.tree.map(jnp.add, out, tail_out)
+                return carry[0], carry[1], out
             return chunk_fn
 
         chunk_fns = {}
         chunk_lens = [chunk] * (n_chunks - 1)
-        chunk_lens.append(n_batches - chunk * (n_chunks - 1))
+        chunk_lens.append(n_batches - chunk * (n_chunks - 1) -
+                          (1 if exact_tail else 0))
 
         def epoch_fn(params, opt_state, key, buffers, train_u, train_i, excl):
             k_perm, k_steps = jax.random.split(key)
@@ -317,9 +344,10 @@ class Trainer:
             sim_total = None
             for c in range(n_chunks):
                 ln = chunk_lens[c]
-                if ln not in chunk_fns:
-                    chunk_fns[ln] = make_chunk_fn(ln)
-                params, opt_state, out = chunk_fns[ln](
+                tail = exact_tail and c == n_chunks - 1
+                if (ln, tail) not in chunk_fns:
+                    chunk_fns[(ln, tail)] = make_chunk_fn(ln, with_tail=tail)
+                params, opt_state, out = chunk_fns[(ln, tail)](
                     params, opt_state, perm, k_steps, jnp.int32(c * chunk),
                     buffers, train_u, train_i, excl)
                 if probe_on:

@@ -46,6 +46,12 @@ def ensure_dataset():
 # per-model config overrides needed on the tiny structured dataset (the
 # shipped yamls assume the real datasets, e.g. 2000 k-means clusters)
 MODEL_OVERRIDES = {"PRICAI_ModelX": {"n_cluster": SCALE["n_clusters"]}}
+# extra --set key=value overrides applied to BOTH sides (ablations)
+EXTRA_OVERRIDES = {}
+
+
+def _merged_overrides(model_name):
+    return {**MODEL_OVERRIDES.get(model_name, {}), **EXTRA_OVERRIDES}
 
 
 def patch_scipy_dok():
@@ -240,7 +246,7 @@ def run_ours(data_path, model_name, epochs, seed):
                  config_dict={"data_path": data_path,
                               "neg_sample_num": SCALE["neg_num"],
                               "seed": seed, "epochs": epochs,
-                              **MODEL_OVERRIDES.get(model_name, {})})
+                              **_merged_overrides(model_name)})
     derive_data_paths(cfg, DS)
     data = FoodData(cfg)
     data.device_data = DeviceData.from_food_data(data, cfg)
@@ -287,7 +293,7 @@ def run_reference(data_path, model_name, epochs, seed, eval_test):
                                      "data_path": data_path,
                                      "neg_sample_num": SCALE["neg_num"],
                                      "epochs": epochs,
-                                     **MODEL_OVERRIDES.get(model_name, {})},
+                                     **_merged_overrides(model_name)},
                         mg=False)
         base = data_path + DS + "/processed_dataset/"
         config["interaction_data_path"] = base
@@ -350,7 +356,7 @@ def run_ours_early_stop(data_path, model_name, epochs, seed, eval_each=10):
                  config_dict={"data_path": data_path,
                               "neg_sample_num": SCALE["neg_num"],
                               "seed": seed, "epochs": epochs,
-                              **MODEL_OVERRIDES.get(model_name, {})})
+                              **_merged_overrides(model_name)})
     derive_data_paths(cfg, DS)
     data = FoodData(cfg)
     data.device_data = DeviceData.from_food_data(data, cfg)
@@ -396,7 +402,7 @@ def run_reference_early_stop(data_path, model_name, epochs, seed, dd,
                                      "data_path": data_path,
                                      "neg_sample_num": SCALE["neg_num"],
                                      "epochs": epochs,
-                                     **MODEL_OVERRIDES.get(model_name, {})},
+                                     **_merged_overrides(model_name)},
                         mg=False)
         base = data_path + DS + "/processed_dataset/"
         config["interaction_data_path"] = base
@@ -472,7 +478,18 @@ def main():
                          "caches metrics under /tmp/foodrec_parity/results; "
                          "'ref' (run with JAX_PLATFORMS=cpu) trains the "
                          "torch side, loads the cache, prints deltas")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    help="config override key=value applied to BOTH sides "
+                         "(ablations, e.g. --set loss_cl=0); repeatable")
     args = ap.parse_args()
+
+    for kv in args.overrides:
+        k, v = kv.split("=", 1)
+        try:
+            v = eval(v)  # numbers / lists / booleans; same laxity as yaml
+        except Exception:
+            pass
+        EXTRA_OVERRIDES[k] = v
 
     data_path = ensure_dataset()
     seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
@@ -482,7 +499,9 @@ def main():
 
     def cache_path(seed):
         proto = "es" if args.early_stop else f"fix{args.epochs}"
-        return os.path.join(res_dir, f"{args.model}_{seed}_{proto}.json")
+        tag = "".join(f"_{kv}" for kv in sorted(args.overrides))
+        return os.path.join(res_dir,
+                            f"{args.model}_{seed}_{proto}{tag}.json")
 
     def build_eval_sets():
         """Host-side eval sets for a ref-only process (no TPU touched)."""

@@ -37,3 +37,38 @@ def test_chunked_epoch_matches_whole_epoch(synth_root):
     np.testing.assert_allclose(l0, l1, rtol=1e-6)
     for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_final_batch_runs_at_exact_size(synth_root):
+    """Reference DataLoader semantics: the epoch's last batch is SMALLER
+    (n_train % bs), not cyclically padded — padding is exact for
+    weight-masked per-sample losses but biases batch-statistics losses
+    (PRICAI's dCor). The probe model returns each batch's width as its
+    'loss', so the epoch total equals the sum of actual batch sizes."""
+    import jax.numpy as jnp
+
+    from foodrec_tpu.data.dataset import FoodData
+    from foodrec_tpu.data.device import DeviceData
+    from foodrec_tpu.engine.trainer import Trainer
+    from foodrec_tpu.models import get_model
+    from foodrec_tpu.models.lightgcn import LightGCN
+
+    class SizeProbe(LightGCN):
+        def calculate_loss(self, params, batch):
+            return (jnp.float32(batch["u_id"].shape[0]),)
+
+    cfg, _ = make_config(synth_root, model="LightGCN", overrides={
+        "epochs": 1, "train_batch_size": 16, "seed": 999})
+    data = FoodData(cfg)
+    data.device_data = DeviceData.from_food_data(data, cfg)
+    n_train = int(data.device_data.n_train)
+    for bs in (17, 19, 23):  # a batch size with a genuine remainder
+        if n_train % bs:
+            break
+    cfg.final_config_dict["train_batch_size"] = bs
+    model = SizeProbe(cfg, data)
+    trainer = Trainer(cfg, model)
+    params = model.init_params(jax.random.PRNGKey(7))
+    opt_state = trainer.optimizer.init(params)
+    _, _, parts = trainer._epoch_fn(params, opt_state, jax.random.PRNGKey(3))
+    assert int(np.asarray(parts)[0]) == n_train

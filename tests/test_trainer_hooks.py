@@ -46,7 +46,7 @@ def test_health_neg_in_train_batch(synth_root):
     def spy(params, batch):
         seen["has_health_neg"] = "health_neg" in batch
         if "health_neg" in batch:
-            seen["shape"] = batch["health_neg"].shape
+            seen.setdefault("shapes", set()).add(batch["health_neg"].shape)
         return orig(params, batch)
 
     model.calculate_loss = spy
@@ -58,7 +58,10 @@ def test_health_neg_in_train_batch(synth_root):
     finally:
         model.calculate_loss = orig
     assert seen["has_health_neg"]
-    assert seen["shape"] == (16,)
+    # full-size batches plus (when n_train % bs != 0) the exact-size tail
+    rem = dd.n_train % 16
+    expect = {(16,)} | ({(rem,)} if rem else set())
+    assert seen["shapes"] == expect
     assert np.isfinite(np.asarray(parts)).all()
 
     # draw once directly and verify the invariants on real data
