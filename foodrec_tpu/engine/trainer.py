@@ -226,7 +226,8 @@ class Trainer:
         # generally doesn't divide the 'data' axis; XLA SPMD supports the
         # uneven sharding (internally padded, semantics exact).
         rem = n_train - (n_batches - 1) * bs
-        exact_tail = 0 < rem < bs
+        exact = self.config["exact_final_batch"]
+        exact_tail = 0 < rem < bs and (exact or exact is None)
 
         def make_train_step(step_bs):
           def train_step(carry, batch_idx):

@@ -218,11 +218,17 @@ class CIKM_Model(GeneralRecommender):
         item_know = (jnp.sum(_normalize(item_mm, axis=1), axis=1)
                      / ingre_num[:, None])
 
-        health_pred = jax.nn.sigmoid(mlp_2layer_apply(
+        health_logit = mlp_2layer_apply(
             params["health_mlp"],
-            jnp.mean(_normalize(item_health, axis=1), axis=1)))
-        bce = -(health_level * jnp.clip(jnp.log(health_pred), -100.0)
-                + (1 - health_level) * jnp.clip(jnp.log1p(-health_pred), -100.0))
+            jnp.mean(_normalize(item_health, axis=1), axis=1))
+        # BCE in logit space: log(sigmoid(z)) == -softplus(-z), so this equals
+        # torch.nn.BCELoss's clamp(log(p), min=-100) forward exactly — but the
+        # gradient stays finite when the sigmoid saturates (sigmoid+clip(log)
+        # yields 0*inf=NaN there; torch avoids it by clamping the backward
+        # denominator, BCELoss docs / cikm_model.py:250-253).
+        log_p = jnp.maximum(-jax.nn.softplus(-health_logit), -100.0)
+        log_1mp = jnp.maximum(-jax.nn.softplus(health_logit), -100.0)
+        bce = -(health_level * log_p + (1 - health_level) * log_1mp)
         if w2 is not None:
             bce = bce * w2[:, None]
         health_loss = jnp.sum(bce)

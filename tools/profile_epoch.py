@@ -49,7 +49,10 @@ def main():
     t0 = time.time()
     params, opt_state, parts = trainer._epoch_fn(params, opt_state, k)
     jax.block_until_ready(parts)
-    print(f"# warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+    import numpy as _np
+    print(f"# warmup: {time.time() - t0:.1f}s  loss_parts="
+          f"{_np.asarray(parts)}  n_batches={trainer.n_batches}",
+          file=sys.stderr)
 
     key, k = jax.random.split(key)
     with jax.profiler.trace(args.trace_dir):
