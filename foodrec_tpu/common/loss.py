@@ -17,6 +17,22 @@ def _wmean(x, weight):
     return jnp.sum(x * weight) / jnp.maximum(jnp.sum(weight), 1.0)
 
 
+def safe_l2_norm(x, axis=-1, keepdims=False):
+    """`jnp.linalg.norm(x, axis=axis)` with a finite gradient at x == 0.
+
+    jnp.linalg.norm's VJP at an exactly-zero vector is 0/0 = NaN, and a NaN
+    survives any downstream `maximum(n, eps)` clamp through the chain rule.
+    Torch's F.normalize / cosine_similarity backward is clamped and returns
+    0 there, so models trained against the reference never see the NaN.
+    Value is identical to jnp.linalg.norm everywhere; gradient is 0 at 0
+    (the torch subgradient convention).
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    nonzero = sq > 0
+    # double-where: keep both the primal and the sqrt VJP off the sq==0 branch
+    return jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, sq, 1.0)), 0.0)
+
+
 def bpr_loss(pos_score, neg_score, gamma=1e-10, weight=None):
     """-log(gamma + sigmoid(pos - neg)).mean()  (reference loss.py:8-34)."""
     return _wmean(-jnp.log(gamma + jnn.sigmoid(pos_score - neg_score)), weight)

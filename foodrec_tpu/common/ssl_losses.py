@@ -11,9 +11,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from foodrec_tpu.common.loss import safe_l2_norm
+
 
 def _l2_normalize(x, axis=-1, eps=1e-12):
-    return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + eps)
+    return x / (safe_l2_norm(x, axis=axis, keepdims=True) + eps)
 
 
 def correlation_distance(x, y):
@@ -99,8 +101,8 @@ def min_mutual_information(a, b, c):
     """(pricai_modelx.py:380-393)"""
 
     def cos(x, y):
-        nx = jnp.maximum(jnp.linalg.norm(x, axis=-1), 1e-8)
-        ny = jnp.maximum(jnp.linalg.norm(y, axis=-1), 1e-8)
+        nx = jnp.maximum(safe_l2_norm(x, axis=-1), 1e-8)
+        ny = jnp.maximum(safe_l2_norm(y, axis=-1), 1e-8)
         return jnp.sum(x * y, axis=-1) / (nx * ny)
 
     def term(x, y):

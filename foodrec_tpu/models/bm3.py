@@ -21,7 +21,7 @@ from foodrec_tpu.common.init import (
     xavier_normal,
     xavier_uniform,
 )
-from foodrec_tpu.common.loss import emb_loss
+from foodrec_tpu.common.loss import emb_loss, safe_l2_norm
 from foodrec_tpu.common.module import dropout
 from foodrec_tpu.models import register
 from foodrec_tpu.models.base import GeneralRecommender
@@ -30,9 +30,9 @@ from foodrec_tpu.ops.spmm import Propagator, propagate_mean
 
 
 def _cos(a, b):
-    """torch cosine_similarity parity (eps=1e-8 on norms)."""
-    na = jnp.maximum(jnp.linalg.norm(a, axis=-1), 1e-8)
-    nb = jnp.maximum(jnp.linalg.norm(b, axis=-1), 1e-8)
+    """torch cosine_similarity parity (eps=1e-8 on norms, NaN-safe grad)."""
+    na = jnp.maximum(safe_l2_norm(a, axis=-1), 1e-8)
+    nb = jnp.maximum(safe_l2_norm(b, axis=-1), 1e-8)
     return jnp.sum(a * b, axis=-1) / (na * nb)
 
 

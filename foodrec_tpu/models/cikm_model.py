@@ -33,7 +33,7 @@ from foodrec_tpu.common.init import (
     xavier_normal,
     xavier_uniform,
 )
-from foodrec_tpu.common.loss import bpr_loss, emb_loss
+from foodrec_tpu.common.loss import bpr_loss, emb_loss, safe_l2_norm
 from foodrec_tpu.common.module import (
     mlp_2layer_apply,
     mlp_2layer_params,
@@ -53,14 +53,14 @@ from foodrec_tpu.ops.spmm import Propagator, propagate_mean
 
 
 def _normalize(x, axis=-1):
-    """F.normalize parity: x / max(||x||, 1e-12)."""
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    """F.normalize parity: x / max(||x||, 1e-12) (NaN-safe grad at 0)."""
+    n = safe_l2_norm(x, axis=axis, keepdims=True)
     return x / jnp.maximum(n, 1e-12)
 
 
 def _cos(a, b):
-    na = jnp.maximum(jnp.linalg.norm(a, axis=-1), 1e-8)
-    nb = jnp.maximum(jnp.linalg.norm(b, axis=-1), 1e-8)
+    na = jnp.maximum(safe_l2_norm(a, axis=-1), 1e-8)
+    nb = jnp.maximum(safe_l2_norm(b, axis=-1), 1e-8)
     return jnp.sum(a * b, axis=-1) / (na * nb)
 
 

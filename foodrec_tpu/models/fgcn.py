@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from foodrec_tpu.common.init import linear_apply, linear_params, xavier_normal
-from foodrec_tpu.common.loss import bpr_loss, emb_loss
+from foodrec_tpu.common.loss import bpr_loss, emb_loss, safe_l2_norm
 from foodrec_tpu.common.module import dropout
 from foodrec_tpu.models import register
 from foodrec_tpu.models.base import GeneralRecommender
@@ -126,7 +126,7 @@ class FGCN(GeneralRecommender):
                 key, k = jax.random.split(key)
                 x = self._aggregate(p, props, x, k, deterministic)
                 n = x / jnp.maximum(
-                    jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                    safe_l2_norm(x, axis=1, keepdims=True), 1e-12)
                 outs.append(n)
             return sum(outs) / len(outs)
 
