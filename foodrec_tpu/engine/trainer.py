@@ -222,9 +222,10 @@ class Trainer:
         # cyclically padded). Padding with zero sample-weight is exact for
         # per-sample losses but NOT for batch-statistics losses (PRICAI's
         # dCor computes pairwise distances over the whole batch —
-        # wrap-around duplicates bias it). Under a mesh the remainder batch
-        # generally doesn't divide the 'data' axis; XLA SPMD supports the
-        # uneven sharding (internally padded, semantics exact).
+        # wrap-around duplicates bias it). Under a mesh, when the remainder
+        # doesn't divide the 'data' axis, shard_batch (parallel/mesh.py)
+        # falls back to full replication for the tail step — semantics stay
+        # exact; only that one step runs replicated instead of sharded.
         rem = n_train - (n_batches - 1) * bs
         exact = self.config["exact_final_batch"]
         exact_tail = 0 < rem < bs and (exact or exact is None)
@@ -307,10 +308,7 @@ class Trainer:
         # variant) instead of masking overflow steps with a jnp.where over
         # every param/opt leaf — that where was a full optimizer-state HBM
         # sweep per step (~16% of the CIKM Foodcom epoch, see PARITY.md).
-        def make_chunk_fn(length, with_tail=False):
-            # with_tail: this is the epoch's final chunk and the epoch has a
-            # partial last batch — run `length` full-size steps in the scan,
-            # then the remainder-size step once at its exact shape
+        def make_chunk_fn(length):
             @functools.partial(jax.jit, donate_argnums=(0, 1))
             def chunk_fn(params, opt_state, perm, k_steps, start, buffers,
                          train_u, train_i, excl):
@@ -326,12 +324,21 @@ class Trainer:
                         lambda c, b: train_step(c, b),
                         carry, start + jnp.arange(length))
                     out = jax.tree.map(lambda x: jnp.sum(x, axis=0), out)
-                    if with_tail:
-                        carry, tail_out = tail_step(
-                            carry, jnp.int32(n_batches - 1))
-                        out = jax.tree.map(jnp.add, out, tail_out)
                 return carry[0], carry[1], out
             return chunk_fn
+
+        # the exact-size remainder batch runs in its OWN small executable:
+        # inlining it into the last chunk traced the full train step TWICE
+        # in one compile unit, nearly doubling the cold TPU compile of the
+        # dominant executable (r2 bench: 200.9s warmup; VERDICT r2 weak #5)
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def tail_fn(params, opt_state, perm, k_steps, buffers,
+                    train_u, train_i, excl):
+            with model.bind(buffers):
+                carry = (params, opt_state, perm, k_steps, train_u,
+                         train_i, excl)
+                carry, out = tail_step(carry, jnp.int32(n_batches - 1))
+            return carry[0], carry[1], out
 
         chunk_fns = {}
         chunk_lens = [chunk] * (n_chunks - 1)
@@ -343,12 +350,14 @@ class Trainer:
             perm = perm_fn(k_perm)
             loss_parts = None
             sim_total = None
+            aborted = False
             for c in range(n_chunks):
                 ln = chunk_lens[c]
-                tail = exact_tail and c == n_chunks - 1
-                if (ln, tail) not in chunk_fns:
-                    chunk_fns[(ln, tail)] = make_chunk_fn(ln, with_tail=tail)
-                params, opt_state, out = chunk_fns[(ln, tail)](
+                if ln == 0:
+                    continue  # single-batch epoch: only the exact tail runs
+                if ln not in chunk_fns:
+                    chunk_fns[ln] = make_chunk_fn(ln)
+                params, opt_state, out = chunk_fns[ln](
                     params, opt_state, perm, k_steps, jnp.int32(c * chunk),
                     buffers, train_u, train_i, excl)
                 if probe_on:
@@ -360,7 +369,18 @@ class Trainer:
                 # chunk-granular NaN abort (the reference aborts mid-epoch at
                 # batch granularity, trainer.py:191-193)
                 if n_chunks > 1 and not np.isfinite(np.asarray(parts)).all():
+                    aborted = True
                     break
+            if exact_tail and not aborted:
+                params, opt_state, out = tail_fn(
+                    params, opt_state, perm, k_steps, buffers,
+                    train_u, train_i, excl)
+                parts = out[0] if probe_on else out
+                if probe_on:
+                    sim_total = (sim_total + out[1]
+                                 if sim_total is not None else out[1])
+                loss_parts = (parts if loss_parts is None
+                              else loss_parts + parts)
             self._epoch_cos_sim = (np.asarray(sim_total)
                                    if sim_total is not None else None)
             return params, opt_state, loss_parts
@@ -388,6 +408,12 @@ class Trainer:
         key = jax.random.PRNGKey(int(seed or 2020))
         k_init, key = jax.random.split(key)
         params = self.model.init_params(k_init)
+        if self.mesh is not None:
+            # place params on the mesh (modality tables row-sharded over
+            # 'model', everything else replicated — base.param_shardings);
+            # optimizer moments inherit the placement via init-after-put
+            params = jax.device_put(
+                params, self.model.param_shardings(self.mesh, params))
         opt_state = self.optimizer.init(params)
 
         cur_step = 0

@@ -23,6 +23,10 @@ Deviation from the reference, on purpose: component-level attention scores
 are stacked per sample ([B, 4]); the reference's `.view(b, -1)` on the
 concatenated [4B, 1] tensor interleaves scores across samples
 (schgn.py:198-200), which is an indexing slip, not a design choice.
+Config flag `schgn_faithful_interleave: True` reproduces the reference's
+exact mixing (component-major flatten of the [B, 4] score matrix re-read
+row-major as [B, 4]) so the fix can be A/B'd against the reference
+(parity_check.py --set schgn_faithful_interleave=True).
 """
 
 import jax
@@ -80,6 +84,11 @@ class SCHGN(GeneralRecommender):
         self.attn_dropout = config["attention_probs_dropout_prob"]
         self.hidden_act = config["hidden_act"]
         self.masked_p = 0.2  # dataloader.py:17
+        # reproduce the reference's `.view(b, -1)` component-score mixing
+        # (schgn.py:198-200) instead of the per-sample fix — see module
+        # docstring; the scramble depends on the flattened batch size, so
+        # eval must block candidates exactly like the comparison harness
+        self.faithful_interleave = bool(config["schgn_faithful_interleave"])
 
         # hetero graph: items->users, ingredients->items, cal->items
         # (schgn.py:139-151); node order users|items|ingredients|cal
@@ -191,6 +200,16 @@ class SCHGN(GeneralRecommender):
         h = jnp.tanh(cp @ params["W_att_comp"]["w"]
                      + params["W_att_comp"]["b"])
         scores = (h @ params["h_att_comp"]["w"])[..., 0]
+        if self.faithful_interleave:
+            # reference schgn.py:195-200: scores are computed on the [4B, 2d]
+            # component-major concat and `.view(b, -1)`'d — row i of the
+            # softmax input is flat[4i:4i+4] of the COMPONENT-major flat
+            # vector, i.e. scores of other samples/components. Replicate:
+            # sample-major [B, 4] -> transpose-flatten -> re-read as [B, 4].
+            lead = scores.shape[:-1]
+            b = int(np.prod(lead)) if lead else 1
+            flat = scores.reshape(b, 4).T.reshape(-1)
+            scores = flat.reshape(b, 4).reshape(lead + (4,))
         w = jax.nn.softmax(scores, axis=-1)
         return jnp.sum(w[..., None] * comps, axis=-2)
 

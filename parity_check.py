@@ -15,9 +15,11 @@ the real datasets).
 """
 
 import argparse
+import ast
 import functools
 import json
 import os
+import re
 import sys
 import time
 
@@ -27,10 +29,36 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 DS_ROOT = "/tmp/foodrec_parity"
 DS = "StructSynth"
 
-SCALE = dict(n_users=800, n_items=1600, n_ingredients=300, n_cal_levels=20,
-             n_health_levels=6, n_clusters=50, img_dim=64, txt_dim=32,
-             neg_num=100, latent_dim=8, train_per_user=(10, 21),
-             valid_per_user=(2, 4), test_per_user=(2, 5), seed=17)
+TOY_SCALE = dict(n_users=800, n_items=1600, n_ingredients=300, n_cal_levels=20,
+                 n_health_levels=6, n_clusters=50, img_dim=64, txt_dim=32,
+                 neg_num=100, latent_dim=8, train_per_user=(10, 21),
+                 valid_per_user=(2, 4), test_per_user=(2, 5), seed=17)
+# real Foodcom operating point (BASELINE.md: 7,596 users / 29,943 items /
+# ~190k train inters / 500 eval negatives), with the same planted latent
+# signal — VERDICT r2 missing #1: parity evidence at realistic scale
+FOODCOM_SCALE = dict(n_users=7596, n_items=29943, n_ingredients=4963,
+                     n_cal_levels=60, n_health_levels=6, n_clusters=2000,
+                     img_dim=2048, txt_dim=512, neg_num=500, latent_dim=8,
+                     train_per_user=(20, 31), valid_per_user=(2, 7),
+                     test_per_user=(8, 17), seed=17)
+SCALE = TOY_SCALE
+
+# torch_score_by_user and the faithful-SCHGN ours scorer must block users
+# identically: the reference's `.view(b,-1)` attention interleave
+# (schgn.py:198-200) mixes scores across the flattened batch, so metric
+# parity requires byte-identical batch layout on both sides
+EVAL_USERS_PER_CALL = 64
+
+
+def select_scale(name):
+    """Switch the module-level dataset/scale (called before any run)."""
+    global SCALE, DS
+    if name == "foodcom":
+        SCALE = FOODCOM_SCALE
+        DS = "FoodcomStruct"
+    else:
+        SCALE = TOY_SCALE
+        DS = "StructSynth"
 
 
 def ensure_dataset():
@@ -39,19 +67,30 @@ def ensure_dataset():
     root = os.path.join(DS_ROOT, DS)
     if not os.path.isfile(os.path.join(root, "processed_dataset",
                                        "data.train.rating")):
+        t0 = time.time()
         synthetic.generate(root, **SCALE)
+        print(f"# generated {DS} in {time.time() - t0:.1f}s", flush=True)
     return DS_ROOT + "/"
 
 
-# per-model config overrides needed on the tiny structured dataset (the
-# shipped yamls assume the real datasets, e.g. 2000 k-means clusters)
-MODEL_OVERRIDES = {"PRICAI_ModelX": {"n_cluster": SCALE["n_clusters"]}}
 # extra --set key=value overrides applied to BOTH sides (ablations)
 EXTRA_OVERRIDES = {}
+# Mirror Gradient (reference trainer.py:195-211 + configs/mg.yaml); set by
+# --mg: dict(alpha1=.., alpha2=.., beta=..) applied on BOTH sides
+MG = None
 
 
 def _merged_overrides(model_name):
-    return {**MODEL_OVERRIDES.get(model_name, {}), **EXTRA_OVERRIDES}
+    """Per-model config overrides for the structured synthetic (the shipped
+    yamls assume the real datasets, e.g. 2000 k-means clusters) + ablation
+    --set overrides + MG hypers, applied identically to both sides."""
+    ov = {}
+    if model_name == "PRICAI_ModelX":
+        ov["n_cluster"] = SCALE["n_clusters"]
+    ov.update(EXTRA_OVERRIDES)
+    if MG:
+        ov.update(MG)
+    return ov
 
 
 def patch_scipy_dok():
@@ -112,6 +151,28 @@ def install_torch_geometric_stub():
     sys.modules["torch_geometric.nn"] = nn_mod
 
 
+def _ref_run_epoch(model, dl, opt):
+    """One reference train epoch (trainer.py:177-229 semantics), including
+    the Mirror Gradient two-pass every beta-th batch (trainer.py:195-211):
+    step on alpha1*loss, recompute the loss on a replay of the same batch,
+    then step again on -alpha2*loss."""
+    import copy
+
+    for batch_idx, batch in enumerate(dl):
+        opt.zero_grad()
+        second = copy.deepcopy(batch) if MG else None
+        loss = sum(model.calculate_loss(batch))
+        if MG and batch_idx % MG["beta"] == 0:
+            (MG["alpha1"] * loss).backward()
+            opt.step()
+            opt.zero_grad()
+            loss2 = sum(model.calculate_loss(second))
+            (-MG["alpha2"] * loss2).backward()
+        else:
+            loss.backward()
+        opt.step()
+
+
 def eval_score_matrix(scores, eval_set, neg_num, batch_size=128):
     """Metrics from a host [U, C] candidate-score matrix through the same
     by_user_metrics kernel both frameworks share."""
@@ -142,7 +203,8 @@ def eval_score_matrix(scores, eval_set, neg_num, batch_size=128):
             "NDCG@20": float(per["ndcg@20"].mean())}
 
 
-def torch_score_by_user(model, dataset, eval_set, users_per_call=64):
+def torch_score_by_user(model, dataset, eval_set,
+                        users_per_call=EVAL_USERS_PER_CALL):
     """Score an EvalSet with the reference model's own inference_by_user
     (trainer.py:243-246 semantics) — needed for SCHGN, whose scorer is an
     MLP over graph/attention features, not a user·item dot product.
@@ -178,6 +240,41 @@ def torch_score_by_user(model, dataset, eval_set, users_per_call=64):
             p = model.inference_by_user(batch).numpy().reshape(b, width)
             scores[s:s + b] = p
     return scores
+
+
+def _mirrored_eval(model_name):
+    """SCHGN's faithful-interleave mode scrambles attention scores across the
+    flattened eval batch, so ours must score candidate blocks in EXACTLY the
+    layout torch_score_by_user uses (same users_per_call, ragged final
+    block, user-major flatten) for the comparison to isolate training."""
+    return (model_name == "SCHGN"
+            and bool(EXTRA_OVERRIDES.get("schgn_faithful_interleave")))
+
+
+def ours_score_by_user(trainer, params, eval_set):
+    """Mirror of torch_score_by_user for the foodrec-tpu side."""
+    import jax.numpy as jnp
+
+    cache = trainer._cache_fn(params)
+    u_count, width = eval_set.cand.shape
+    out = np.empty((u_count, width), np.float32)
+    for s in range(0, u_count, EVAL_USERS_PER_CALL):
+        users = jnp.asarray(
+            eval_set.users[s:s + EVAL_USERS_PER_CALL].astype(np.int32))
+        cand = jnp.asarray(
+            eval_set.cand[s:s + EVAL_USERS_PER_CALL].astype(np.int32))
+        out[s:s + users.shape[0]] = np.asarray(
+            trainer._score_fn(params, cache, users, cand))
+    return out
+
+
+def ours_eval(trainer, data, params, eval_set, model_name):
+    """Trainer's own by-user eval, or the block-mirrored scorer when the
+    faithful-SCHGN A/B requires layout-identical batches on both sides."""
+    if _mirrored_eval(model_name):
+        return eval_score_matrix(ours_score_by_user(trainer, params, eval_set),
+                                 eval_set, SCALE["neg_num"])
+    return trainer._valid_by_user(params, eval_set)[1]
 
 
 def reference_test_metrics(model, model_name, dataset, eval_set, neg_num):
@@ -251,7 +348,7 @@ def run_ours(data_path, model_name, epochs, seed):
     data = FoodData(cfg)
     data.device_data = DeviceData.from_food_data(data, cfg)
     model = get_model(model_name)(cfg, data)
-    trainer = Trainer(cfg, model)
+    trainer = Trainer(cfg, model, mg=bool(MG))
 
     params = model.init_params(jax.random.PRNGKey(seed))
     opt_state = trainer.optimizer.init(params)
@@ -271,8 +368,9 @@ def run_ours(data_path, model_name, epochs, seed):
 
     # trainer's own by-user eval path (== eval_embeddings for dot-product
     # models; SCHGN/BM3 route through their custom score_from_cache exactly
-    # like fit() does)
-    _, metrics = trainer._valid_by_user(params, data.device_data.eval_test)
+    # like fit() does), or the block-mirrored scorer for faithful SCHGN
+    metrics = ours_eval(trainer, data, params, data.device_data.eval_test,
+                        model_name)
     return metrics, wall, data
 
 
@@ -325,11 +423,7 @@ def run_reference(data_path, model_name, epochs, seed, eval_test):
         model.train()
         t0 = time.time()
         for _ in range(epochs):
-            for batch in dl:
-                opt.zero_grad()
-                loss = sum(model.calculate_loss(batch))
-                loss.backward()
-                opt.step()
+            _ref_run_epoch(model, dl, opt)
             sched.step()
         wall = time.time() - t0
 
@@ -361,7 +455,7 @@ def run_ours_early_stop(data_path, model_name, epochs, seed, eval_each=10):
     data = FoodData(cfg)
     data.device_data = DeviceData.from_food_data(data, cfg)
     model = get_model(model_name)(cfg, data)
-    trainer = Trainer(cfg, model)
+    trainer = Trainer(cfg, model, mg=bool(MG))
 
     state = {"params": model.init_params(jax.random.PRNGKey(seed)),
              "key": jax.random.PRNGKey(0), "epoch": 0}
@@ -373,10 +467,10 @@ def run_ours_early_stop(data_path, model_name, epochs, seed, eval_each=10):
             state["params"], state["opt"], _ = trainer._epoch_fn(
                 state["params"], state["opt"], k)
             state["epoch"] += 1
-        _, v = trainer._valid_by_user(state["params"],
-                                      data.device_data.eval_valid)
-        _, t = trainer._valid_by_user(state["params"],
-                                      data.device_data.eval_test)
+        v = ours_eval(trainer, data, state["params"],
+                      data.device_data.eval_valid, model_name)
+        t = ours_eval(trainer, data, state["params"],
+                      data.device_data.eval_test, model_name)
         return v, t
 
     best, best_e = best_upon_valid(evaluate_at, epochs)
@@ -436,11 +530,7 @@ def run_reference_early_stop(data_path, model_name, epochs, seed, dd,
         def evaluate_at(n):
             model.train()
             while state["epoch"] < n:
-                for batch in dl:
-                    opt.zero_grad()
-                    loss = sum(model.calculate_loss(batch))
-                    loss.backward()
-                    opt.step()
+                _ref_run_epoch(model, dl, opt)
                 sched.step()
                 state["epoch"] += 1
             return (reference_test_metrics(model, model_name, dataset,
@@ -481,15 +571,30 @@ def main():
     ap.add_argument("--set", action="append", default=[], dest="overrides",
                     help="config override key=value applied to BOTH sides "
                          "(ablations, e.g. --set loss_cl=0); repeatable")
+    ap.add_argument("--scale", default="toy", choices=["toy", "foodcom"],
+                    help="'foodcom' = real Foodcom operating point "
+                         "(7,596x29,943, 500 negatives, planted signal)")
+    ap.add_argument("--mg", action="store_true",
+                    help="Mirror Gradient on BOTH sides (reference "
+                         "trainer.py:195-211; mg.yaml alpha1=1.0 alpha2=0.2 "
+                         "beta=3, override via --set)")
     args = ap.parse_args()
+
+    select_scale(args.scale)
+    if args.mg:
+        global MG
+        MG = {"alpha1": 1.0, "alpha2": 0.2, "beta": 3}
 
     for kv in args.overrides:
         k, v = kv.split("=", 1)
         try:
-            v = eval(v)  # numbers / lists / booleans; same laxity as yaml
+            v = ast.literal_eval(v)  # numbers/lists/booleans, never call/eval
         except Exception:
-            pass
-        EXTRA_OVERRIDES[k] = v
+            pass  # plain string, same laxity as yaml
+        if args.mg and k in ("alpha1", "alpha2", "beta"):
+            MG[k] = v
+        else:
+            EXTRA_OVERRIDES[k] = v
 
     data_path = ensure_dataset()
     seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
@@ -499,7 +604,14 @@ def main():
 
     def cache_path(seed):
         proto = "es" if args.early_stop else f"fix{args.epochs}"
-        tag = "".join(f"_{kv}" for kv in sorted(args.overrides))
+        if args.scale != "toy":
+            proto += f"_{args.scale}"
+        if args.mg:
+            proto += "_mg" + "".join(
+                str(MG[k]) for k in ("alpha1", "alpha2", "beta"))
+        # a raw '--set path=/x/y' override would misdirect the cache path
+        tag = "".join(re.sub(r"[^A-Za-z0-9_=.\-]", "~", f"_{kv}")
+                      for kv in sorted(args.overrides))
         return os.path.join(res_dir,
                             f"{args.model}_{seed}_{proto}{tag}.json")
 

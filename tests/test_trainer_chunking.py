@@ -65,6 +65,9 @@ def test_final_batch_runs_at_exact_size(synth_root):
     for bs in (17, 19, 23):  # a batch size with a genuine remainder
         if n_train % bs:
             break
+    # fail loudly if every candidate divides n_train — otherwise the test
+    # would silently exercise no exact-size tail at all
+    assert n_train % bs != 0, f"no remainder for any bs candidate ({n_train})"
     cfg.final_config_dict["train_batch_size"] = bs
     model = SizeProbe(cfg, data)
     trainer = Trainer(cfg, model)
