@@ -37,11 +37,14 @@ def main():
     import torch
 
     # the reference calls scipy's removed private dok_matrix._update
-    # (cikm_model.py:122 etc.); restore it for this process only
-    import scipy.sparse as sp
+    # (cikm_model.py:122 etc.); restore it for this process only. MUST route
+    # through dok __setitem__ — the r1 `dict.update` shim left the adjacency
+    # EMPTY (see PARITY.md), which also made the reference's sparse mm
+    # artificially cheap and its epoch time ~overstated in our favor's
+    # mirror: the r2 baseline (794s) was measured with zeroed graphs.
+    from parity_check import patch_scipy_dok
 
-    if not hasattr(sp.dok_matrix, "_update"):
-        sp.dok_matrix._update = lambda self, data: dict.update(self, data)
+    patch_scipy_dok()
 
     from FoodRec.utils.configurator import Config
 
@@ -98,19 +101,30 @@ def main():
     step_s = times[len(times) // 2]
     epoch_s = step_s * n_batches
 
-    out = {
+    entry = {
         "cikm_cpu_epoch_s": round(epoch_s, 2),
         "cikm_cpu_step_s": round(step_s, 4),
         "n_batches": n_batches,
-        "dataset": DATASET,
         "torch_version": torch.__version__,
-        "method": "median of 20 timed steps (after 3 warmup) through the "
-                  "reference's own TrainDataLoader + calculate_loss + Adam "
-                  "on CPU, x n_batches",
+        "method": f"median of {N_TIMED} timed steps (after {N_WARMUP} "
+                  "warmup) through the reference's own TrainDataLoader + "
+                  "calculate_loss + Adam on CPU, x n_batches",
     }
-    with open(os.path.join(REPO_ROOT, "bench_baseline.json"), "w") as f:
-        json.dump(out, f, indent=2)
-    print(json.dumps(out))
+    # per-dataset entries so the Foodcom and Allrecipes anchors coexist
+    # (bench.py reads baseline[DATASET]); legacy flat keys kept for Foodcom
+    path = os.path.join(REPO_ROOT, "bench_baseline.json")
+    baseline = {}
+    if os.path.isfile(path):
+        with open(path) as f:
+            old = json.load(f)
+        baseline = {k: v for k, v in old.items() if isinstance(v, dict)}
+        if "cikm_cpu_epoch_s" in old and "FoodcomSynth" not in baseline:
+            baseline["FoodcomSynth"] = {
+                k: v for k, v in old.items() if not isinstance(v, dict)}
+    baseline[DATASET] = entry
+    with open(path, "w") as f:
+        json.dump(baseline, f, indent=2, sort_keys=True)
+    print(json.dumps({DATASET: entry}))
 
 
 if __name__ == "__main__":

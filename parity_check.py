@@ -602,7 +602,11 @@ def main():
     res_dir = os.path.join(DS_ROOT, "results")
     os.makedirs(res_dir, exist_ok=True)
 
-    def cache_path(seed):
+    # config keys that only change foodrec-tpu behavior; the torch reference
+    # ignores them, so its cached results are shared across those ablations
+    OURS_ONLY_KEYS = {"schgn_faithful_interleave"}
+
+    def _proto_tag(overrides):
         proto = "es" if args.early_stop else f"fix{args.epochs}"
         if args.scale != "toy":
             proto += f"_{args.scale}"
@@ -611,9 +615,18 @@ def main():
                 str(MG[k]) for k in ("alpha1", "alpha2", "beta"))
         # a raw '--set path=/x/y' override would misdirect the cache path
         tag = "".join(re.sub(r"[^A-Za-z0-9_=.\-]", "~", f"_{kv}")
-                      for kv in sorted(args.overrides))
-        return os.path.join(res_dir,
-                            f"{args.model}_{seed}_{proto}{tag}.json")
+                      for kv in sorted(overrides))
+        return proto + tag
+
+    def cache_path(seed):
+        return os.path.join(
+            res_dir, f"{args.model}_{seed}_{_proto_tag(args.overrides)}.json")
+
+    def ref_cache_path(seed):
+        kept = [kv for kv in args.overrides
+                if kv.split("=", 1)[0] not in OURS_ONLY_KEYS]
+        return os.path.join(
+            res_dir, f"ref_{args.model}_{seed}_{_proto_tag(kept)}.json")
 
     def build_eval_sets():
         """Host-side eval sets for a ref-only process (no TPU touched)."""
@@ -655,19 +668,27 @@ def main():
             print(f"ours     (cached):  {json.dumps(ours)}", flush=True)
             if dd_cached is None:
                 dd_cached = build_eval_sets()
-        if args.early_stop:
+        ref_cache = ref_cache_path(seed)
+        if os.path.isfile(ref_cache):
+            with open(ref_cache) as f:
+                ref = json.load(f)["metrics"]
+            print(f"reference(cached):  {json.dumps(ref)}", flush=True)
+        elif args.early_stop:
             ref, re_ = run_reference_early_stop(data_path, args.model,
                                                 args.epochs, seed,
                                                 dd_cached)
             print(f"reference(best@{re_:3d}ep): {json.dumps(ref)}",
                   flush=True)
-            rels.append(_print_deltas(ours, ref))
+            with open(ref_cache, "w") as f:
+                json.dump({"metrics": ref, "best_epoch": re_}, f)
         else:
             ref, ref_wall = run_reference(data_path, args.model, args.epochs,
                                           seed, dd_cached.eval_test)
             print(f"reference({ref_wall:6.1f}s): {json.dumps(ref)}",
                   flush=True)
-            rels.append(_print_deltas(ours, ref))
+            with open(ref_cache, "w") as f:
+                json.dump({"metrics": ref, "wall_s": ref_wall}, f)
+        rels.append(_print_deltas(ours, ref))
 
     if len(rels) > 1:
         keys = rels[0].keys()
