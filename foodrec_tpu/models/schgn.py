@@ -242,12 +242,18 @@ class SCHGN(GeneralRecommender):
 
     # ------------------------------------------------------------------- SSL
     def _ssl_loss(self, params, g_gcn_table, items, key):
-        """Masked-ingredient prediction (schgn.py:208-232)."""
+        """Masked-ingredient prediction (schgn.py:208-232): on-device mask
+        sampling, then the deterministic scoring part (split out so the
+        torch-parity test can drive identical sequences through both sides)."""
         codes = self.ingre_codes[items]
         num = self.ingre_num[items]
         masked_seq, pos_seq, neg_seq = ssl_mask_ingredients(
             key, codes, num, self.n_ingredients, masked_p=self.masked_p)
+        return self._ssl_loss_from_seqs(params, g_gcn_table, masked_seq,
+                                        pos_seq, neg_seq, key)
 
+    def _ssl_loss_from_seqs(self, params, g_gcn_table, masked_seq, pos_seq,
+                            neg_seq, key):
         ingre_emb = g_gcn_table[masked_seq]
         attn_mask = ((masked_seq == self.n_ingredients).astype(jnp.float32)
                      * -1e8)[:, None, None, :]
