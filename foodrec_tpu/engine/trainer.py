@@ -38,6 +38,10 @@ import optax
 
 from foodrec_tpu.data.sampling import sample_negatives
 from foodrec_tpu.engine.evaluator import by_user_metrics, evaluate_by_user
+from foodrec_tpu.engine.sparse_adam import (
+    apply_update_row_sparse,
+    supports_row_sparse,
+)
 from foodrec_tpu.utils.misc import dict2str, early_stopping
 
 
@@ -208,6 +212,32 @@ class Trainer:
         # per-batch embedding/grad cosine probe, accumulated over the epoch
         # like the reference's total_sim (trainer.py:216-220)
         probe_on = bool(self.config["calcu_cos_similarity"])
+        # row-sparse table fast path (engine/sparse_adam.py): bit-exact with
+        # the dense update (tests/test_sparse_adam.py + TPU check in
+        # tools/verify_sparse_adam_tpu.py), so enabling is purely a traffic
+        # decision. It trades two full-table HBM passes (zero-init write +
+        # dense grad read) for per-row gathers/scatters whose (8,128)-tile
+        # read-modify-write amplification is batch-proportional: measured
+        # NEUTRAL at Foodcom scale (29,943x2048 table, 1024 batch rows,
+        # 6.88 vs 6.79s epoch) and a win only when the catalog dwarfs the
+        # batch. 'auto' (None) therefore enables per table at
+        # n_rows > 64 x batch_rows (~2x the measured break-even).
+        # MG replays grads tree-wide, clip needs the dense global norm, and
+        # the cosine probe reads dense table grads — all three force the
+        # dense path. True/False force the choice for every table.
+        rs_cfg = self.config["row_sparse_table_update"]
+        rs_auto = rs_cfg is None or rs_cfg == "auto"
+        row_sparse_on = ((rs_auto or bool(rs_cfg)) and not mg
+                         and not clip and not probe_on
+                         and not self.weight_decay)
+
+        def rs_filter(params, rows_map):
+            if not rs_auto:
+                return rows_map
+            return {n: r for n, r in rows_map.items()
+                    if params[n].shape[0] > 64 * r.shape[0]}
+
+        lr_schedule = self.lr_schedule
         if probe_on:
             from foodrec_tpu.utils.diagnostics import embedding_cos_similarity
         # chunk the per-epoch scan: K steps per jit call, host loop over
@@ -253,6 +283,23 @@ class Trainer:
                 from foodrec_tpu.parallel.mesh import shard_batch
 
                 batch = shard_batch(self.mesh, batch)
+
+            rows_map = (rs_filter(params, model.row_sparse_tables(batch))
+                        if row_sparse_on else {})
+            if rows_map and isinstance(params, dict) \
+                    and supports_row_sparse(opt_state):
+                # differentiate w.r.t. the gathered rows, never the dense
+                # tables: no zero-filled table-sized gradient buffer
+                pv = dict(params)
+                for n, r in rows_map.items():
+                    pv[n] = params[n][r]
+                (total, parts), grads = grad_fn(
+                    pv, {**batch, "_row_sparse": True})
+                new_params, new_opt = apply_update_row_sparse(
+                    optimizer, lr_schedule, params, opt_state, grads,
+                    rows_map)
+                return (new_params, new_opt, perm, k_steps,
+                        train_u, train_i, excl), parts
 
             (total, parts), grads = grad_fn(params, batch)
 
@@ -345,6 +392,11 @@ class Trainer:
         chunk_lens.append(n_batches - chunk * (n_chunks - 1) -
                           (1 if exact_tail else 0))
         precompile_state = {"pending": True}
+        # diagnostics handles (tools/attr_fusions.py lowers these to HLO)
+        self._chunk_fns = chunk_fns
+        self._chunk_lens = chunk_lens
+        self._make_chunk_fn = make_chunk_fn
+        self._tail_fn_handle = tail_fn if exact_tail else None
 
         def precompile_parallel(params, opt_state, perm, k_steps, buffers,
                                 train_u, train_i, excl):

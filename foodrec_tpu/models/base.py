@@ -106,6 +106,28 @@ class GeneralRecommender:
                 else:
                     setattr(self, n, v)
 
+    # -- row-sparse table contract --------------------------------------------
+    def row_sparse_tables(self, batch):
+        """Parameter tables whose per-step gradient is nonzero only at a
+        known row set: {param_name: row_index_array}. The trainer gathers
+        those rows OUTSIDE autodiff, differentiates the loss w.r.t. the
+        gathered `[K, D]` rows, and applies the fused row-sparse Adam
+        update (engine/sparse_adam.py) — skipping the dense zero-filled
+        gradient buffer the torch reference materializes for its
+        `from_pretrained(..., freeze=False)` modality tables. Models that
+        opt in must read those tables through `gather_rows` in
+        calculate_loss. Default: no tables (dense path)."""
+        return {}
+
+    @staticmethod
+    def gather_rows(params, batch, name, idx):
+        """`params[name][idx]` — unless the trainer pre-gathered this
+        table's rows (row-sparse fast path), in which case `params[name]`
+        IS the gathered `[K, D]` rows for exactly this `idx`."""
+        if batch.get("_row_sparse"):
+            return params[name]
+        return params[name][idx]
+
     # -- contract ------------------------------------------------------------
     def init_params(self, key):
         raise NotImplementedError

@@ -160,6 +160,19 @@ class CIKM_Model(GeneralRecommender):
             return getattr(self, f"{name}_frozen")
         return params[f"{name}_embedding"]
 
+    def _mm_rows(self, params, batch, name, idx):
+        """Batch rows of a modality table — via the row-sparse fast path
+        when the trainer pre-gathered them (engine/sparse_adam.py)."""
+        if self.freeze_mm:
+            return getattr(self, f"{name}_frozen")[idx]
+        return self.gather_rows(params, batch, f"{name}_embedding", idx)
+
+    def row_sparse_tables(self, batch):
+        if self.freeze_mm:
+            return {}
+        items2 = jnp.concatenate([batch["pos_i_id"], batch["neg_i_id"]])
+        return {"image_embedding": items2, "text_embedding": items2}
+
     def _ingre_table(self, params):
         w = params["ingre_embedding"]
         return jnp.concatenate([w[:-1], jax.lax.stop_gradient(w[-1:])], axis=0)
@@ -201,9 +214,11 @@ class CIKM_Model(GeneralRecommender):
 
         # --- multimodal queries (cikm_model.py:240-246) --------------------
         image_feats = linear_apply(params["image_trs"],
-                                   self._mm_table(params, "image")[items2])
+                                   self._mm_rows(params, batch, "image",
+                                                 items2))
         text_feats = linear_apply(params["text_trs"],
-                                  self._mm_table(params, "text")[items2])
+                                  self._mm_rows(params, batch, "text",
+                                                items2))
         mm_query = jnp.stack([image_feats, text_feats], axis=1)  # [2B, 2, D]
 
         item_health, _ = target_attention_apply(

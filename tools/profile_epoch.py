@@ -101,7 +101,7 @@ def summarize(xplane, top):
     print(f"total device self time: {total/1e6:.3f}s")
     for cat, (t, names) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
         print(f"{t/total*100:5.1f}%  {t/1e6:7.3f}s  {cat}")
-        for n, tt in sorted(names.items(), key=lambda kv: -kv[1])[:3]:
+        for n, tt in sorted(names.items(), key=lambda kv: -kv[1])[:top]:
             print(f"            {tt/1e6:7.3f}s    {n}")
 
 

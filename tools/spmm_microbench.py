@@ -46,6 +46,35 @@ def timeit(fn, *args, iters=20):
     return (time.time() - t0) / iters, out
 
 
+def chain_timer(step, x, chain=64, reps=3):
+    """Time `step` by chaining `chain` applications inside ONE dispatch.
+
+    Per-dispatch tunnel latency (~100ms RTT on the axon link) swamps
+    millisecond kernels when timed call-by-call — the r3 sweep first ran
+    with 20 dispatched iterations and read 5ms floors on 0.6ms kernels.
+    A lax.fori_loop keeps the chain on device so one RTT amortizes over
+    `chain` applications."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(x):
+        def body(_, x):
+            y = step(x)
+            # renormalize so 64 chained hops can't overflow f32
+            return y / jnp.maximum(jnp.abs(y).max(), 1e-30)
+        return jax.lax.fori_loop(0, chain, body, x)
+
+    out = chained(x)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(chained(x))
+        best = min(best, (time.time() - t0) / chain)
+    return best, out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--d", type=int, default=64)
@@ -67,12 +96,11 @@ def main():
     y_ref = np.asarray(jax.jit(seg)(x))
     scale = np.abs(y_ref).max()
 
-    def fwd_bwd(prop):
-        @jax.jit
+    def fwd_bwd_step(prop):
         def f(x):
             def loss(x):
                 return jnp.sum(prop(x) ** 2)
-            return jax.value_and_grad(loss)(x)
+            return jax.grad(loss)(x)
         return f
 
     for eb, rp in ((512, 256), (1024, 256), (2048, 256), (1024, 512),
@@ -81,17 +109,17 @@ def main():
         prop = Propagator(adj, impl="pallas")
         blocks = prop.st["panel_ids"].shape[0]
         pad = blocks * eb / max(adj.nnz, 1)
-        t_f, y = timeit(jax.jit(lambda x, p=prop: p(x)), x)
-        err = np.abs(np.asarray(y) - y_ref).max() / scale
-        t_fb, _ = timeit(fwd_bwd(prop), x)
+        t_f, y = chain_timer(prop, x)
+        err = np.abs(np.asarray(jax.jit(prop)(x)) - y_ref).max() / scale
+        t_fb, _ = chain_timer(fwd_bwd_step(prop), x)
         print(f"pallas eb={eb:5d} rp={rp:4d}: fwd {t_f*1e3:7.3f}ms "
               f"fwd+bwd {t_fb*1e3:7.3f}ms  rel_err {err:.2e} "
               f"blocks={blocks} pad_infl={pad:.2f}x", flush=True)
     spmm.EDGE_BLOCK, spmm.ROW_PANEL = 512, 256
 
-    t_f, _ = timeit(jax.jit(seg), x)
     seg_vjp = Propagator(adj, impl="segment")
-    t_fb, _ = timeit(fwd_bwd(seg_vjp), x)
+    t_f, _ = chain_timer(seg_vjp, x)
+    t_fb, _ = chain_timer(fwd_bwd_step(seg_vjp), x)
     print(f"segment        : fwd {t_f*1e3:7.3f}ms fwd+bwd {t_fb*1e3:7.3f}ms")
 
 
