@@ -103,8 +103,8 @@ def main():
             return jax.grad(loss)(x)
         return f
 
-    for eb, rp in ((512, 256), (1024, 256), (2048, 256), (1024, 512),
-                   (2048, 512), (4096, 512), (2048, 1024)):
+    for eb, rp in ((512, 256), (1024, 256), (2048, 256), (512, 512),
+                   (512, 128), (256, 256), (256, 128)):
         spmm.EDGE_BLOCK, spmm.ROW_PANEL = eb, rp
         prop = Propagator(adj, impl="pallas")
         blocks = prop.st["panel_ids"].shape[0]
