@@ -136,6 +136,39 @@ def test_fallback_guards(synth_root):
         assert np.isfinite(parts).all(), ov
 
 
+def test_auto_size_heuristic(synth_root):
+    """'auto' (null) must leave small tables on the dense path (the fast
+    path only wins when n_rows >> batch rows — PARITY.md round-3 floor
+    section) while True forces it. Both produce identical results; this
+    pins the *decision*, via the trainer's rs_filter closure behavior:
+    with auto and a small synth table the rows_map filters to empty."""
+    from foodrec_tpu.data.dataset import FoodData
+    from foodrec_tpu.data.device import DeviceData
+    from foodrec_tpu.engine.trainer import Trainer
+    from foodrec_tpu.models import get_model
+
+    cfg, _ = make_config(synth_root, model="CIKM_Model", overrides={
+        "epochs": 1, "train_batch_size": 16, "seed": 999,
+        "row_sparse_table_update": None})
+    data = FoodData(cfg)
+    data.device_data = DeviceData.from_food_data(data, cfg)
+    model = get_model("CIKM_Model")(cfg, data)
+    trainer = Trainer(cfg, model)
+
+    import jax.numpy as jnp
+    batch = {"pos_i_id": jnp.zeros((16,), jnp.int32),
+             "neg_i_id": jnp.ones((16,), jnp.int32)}
+    rows_map = model.row_sparse_tables(batch)
+    assert set(rows_map) == {"image_embedding", "text_embedding"}
+    params = model.init_params(jax.random.PRNGKey(0))
+    # synth table is far smaller than 64x the 32 batch rows -> auto drops it
+    kept = {n for n, r in rows_map.items()
+            if params[n].shape[0] > 64 * r.shape[0]}
+    assert kept == set()
+    # an XL-shaped table would be kept by the same rule
+    assert 299430 > 64 * 1024
+
+
 def test_dedup_rows_order_matches_scatter():
     """dedup_rows' per-row duplicate accumulation must associate like
     XLA's in-order scatter-add (the dense backward)."""
