@@ -71,6 +71,36 @@ def test_cikm_data_parallel_epoch_matches_single_device(synth_root):
     assert np.max(np.abs(diffs)) < 1e-3, np.max(np.abs(diffs))
 
 
+def test_schgn_bm3_data_parallel_epoch_matches_single_device(synth_root):
+    """The two RNG-heavy models not covered above: SCHGN's on-device
+    masked-ingredient SSL task and BM3's BYOL dropout targets both derive
+    per-sample randomness from the replicated step key, so sharding the
+    batch over 'data' must not move any sample's RNG stream — a
+    position-dependent key split would diverge here while LightGCN/CIKM
+    stay green. SGD for gradient-linearity (see the CIKM test above)."""
+    for model_name in ("SCHGN", "BM3"):
+        results = []
+        for mesh_shape in (None, {"data": 8}):
+            trainer, model = _setup(
+                synth_root,
+                {"mesh_shape": mesh_shape, "learner": "sgd", "epochs": 1},
+                model_name=model_name)
+            params = model.init_params(jax.random.PRNGKey(5))
+            opt_state = trainer.optimizer.init(params)
+            params, _, parts = trainer._epoch_fn(params, opt_state,
+                                                 jax.random.PRNGKey(6))
+            results.append((jax.tree.map(np.asarray, params),
+                            np.asarray(parts)))
+        (p0, l0), (p1, l1) = results
+        np.testing.assert_allclose(l0, l1, rtol=1e-4)
+        diffs = np.concatenate([(a - b).ravel() for a, b in
+                                zip(jax.tree.leaves(p0), jax.tree.leaves(p1))])
+        ref = np.concatenate([a.ravel() for a in jax.tree.leaves(p0)])
+        assert np.linalg.norm(diffs) / np.linalg.norm(ref) < 1e-4, model_name
+        assert np.max(np.abs(diffs)) < 1e-3, (model_name,
+                                              np.max(np.abs(diffs)))
+
+
 def test_distributed_full_sort_topk_matches_single_device(synth_root):
     """Item-sharded full-rank eval (per-shard lax.top_k + cross-shard merge)
     equals the replicated tiled sweep, and the trainer picks it behind
