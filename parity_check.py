@@ -663,6 +663,11 @@ def main():
         if args.side == "ours":
             continue
         if args.side == "ref":
+            if not os.path.isfile(cache_path(seed)):
+                sys.exit(f"--side ref needs the ours-side cache first: "
+                         f"{cache_path(seed)} missing — run the same "
+                         f"invocation with --side ours (on the TPU) before "
+                         f"the ref side (campaign scripts wait_for this).")
             with open(cache_path(seed)) as f:
                 ours = json.load(f)
             print(f"ours     (cached):  {json.dumps(ours)}", flush=True)
