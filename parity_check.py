@@ -663,14 +663,18 @@ def main():
         if args.side == "ours":
             continue
         if args.side == "ref":
-            if not os.path.isfile(cache_path(seed)):
-                sys.exit(f"--side ref needs the ours-side cache first: "
-                         f"{cache_path(seed)} missing — run the same "
-                         f"invocation with --side ours (on the TPU) before "
-                         f"the ref side (campaign scripts wait_for this).")
-            with open(cache_path(seed)) as f:
-                ours = json.load(f)
-            print(f"ours     (cached):  {json.dumps(ours)}", flush=True)
+            if os.path.isfile(cache_path(seed)):
+                with open(cache_path(seed)) as f:
+                    ours = json.load(f)
+                print(f"ours     (cached):  {json.dumps(ours)}", flush=True)
+            else:
+                # ref-first mode: run + cache the torch side now (it only
+                # needs the CPU), print deltas on a later pass once the
+                # ours side has populated its cache — lets the 74-94 min
+                # torch runs proceed during a TPU-tunnel outage
+                print(f"ours cache missing ({cache_path(seed)}) — running "
+                      "the reference only; re-run after --side ours for "
+                      "the deltas", flush=True)
             if dd_cached is None:
                 dd_cached = build_eval_sets()
         ref_cache = ref_cache_path(seed)
@@ -693,7 +697,8 @@ def main():
                   flush=True)
             with open(ref_cache, "w") as f:
                 json.dump({"metrics": ref, "wall_s": ref_wall}, f)
-        rels.append(_print_deltas(ours, ref))
+        if ours is not None:
+            rels.append(_print_deltas(ours, ref))
 
     if len(rels) > 1:
         keys = rels[0].keys()
