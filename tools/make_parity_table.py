@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Rebuild the PARITY.md accuracy tables from the raw per-seed result files.
+
+`parity_check.py` caches one JSON of eval metrics per (side, model, seed,
+protocol[, overrides]) run — ours as `<Model>_<seed>_<proto>[_tag].json`,
+torch reference as `ref_` + the same name. This tool pairs them, computes
+per-seed relative deltas and per-group mean/std, and prints the markdown
+tables, so every number in PARITY.md is reproducible from the committed
+raw results in `parity_results/` (synced from the /tmp cache with --sync).
+
+Usage:
+  python tools/make_parity_table.py [--dir parity_results] [--metric NDCG@20]
+  python tools/make_parity_table.py --sync   # copy /tmp cache -> parity_results/
+"""
+
+import argparse
+import json
+import os
+import re
+import shutil
+from collections import defaultdict
+
+CACHE = "/tmp/foodrec_parity/results"
+
+
+def parse_name(fname):
+    """-> (model, seed, proto_tag) e.g. 'CIKM_Model_999_es.json' ->
+    ('CIKM_Model', 999, 'es'); 'FGCN_998_es_mess_dropout=0.0.json' ->
+    ('FGCN', 998, 'es_mess_dropout=0.0')."""
+    stem = fname[:-5]  # .json
+    m = re.match(r"^(?P<model>.+?)_(?P<seed>\d{3,4})_(?P<proto>.+)$", stem)
+    if not m:
+        raise ValueError(f"unparseable result name: {fname}")
+    return m.group("model"), int(m.group("seed")), m.group("proto")
+
+
+def load(results_dir):
+    """-> {(model, proto_tag): {seed: (ours_metrics, ref_metrics)}}"""
+    ours, ref = {}, {}
+    for f in sorted(os.listdir(results_dir)):
+        if not f.endswith(".json"):
+            continue
+        side, name = (ref, f[4:]) if f.startswith("ref_") else (ours, f)
+        with open(os.path.join(results_dir, f)) as fh:
+            d = json.load(fh)
+        # two cache shapes exist: bare metric dicts, and
+        # {"metrics": {...}, "best_epoch": N[, "source": ...]} envelopes
+        side[parse_name(name)] = d.get("metrics", d) if isinstance(d, dict) \
+            else d
+    # ours-only config flags: the ref cache stores the run WITHOUT these
+    # tags (the torch side has no such switch), so strip them for pairing.
+    OURS_ONLY = ("schgn_faithful_interleave",)
+
+    def ref_key(model, seed, proto):
+        if (model, seed, proto) in ref:
+            return (model, seed, proto)
+        base = proto
+        for flag in OURS_ONLY:  # tags append as _{key}={value}
+            base = re.sub(rf"_{re.escape(flag)}=[A-Za-z0-9.~\-]+", "", base)
+        return (model, seed, base) if (model, seed, base) in ref else None
+
+    groups, paired_ref = defaultdict(dict), set()
+    for (model, seed, proto), om in ours.items():
+        rk = ref_key(model, seed, proto)
+        if rk is not None:
+            groups[(model, proto)][seed] = (om, ref[rk])
+            paired_ref.add(rk)
+    unpaired = sorted(k for k in ours if ref_key(*k) is None) \
+        + sorted(set(ref) - paired_ref)
+    return groups, unpaired
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="parity_results")
+    ap.add_argument("--metric", default="NDCG@20")
+    ap.add_argument("--sync", action="store_true",
+                    help=f"copy {CACHE}/*.json into --dir first")
+    args = ap.parse_args()
+
+    if args.sync:
+        os.makedirs(args.dir, exist_ok=True)
+        n = 0
+        for f in sorted(os.listdir(CACHE)):
+            if f.endswith(".json"):
+                shutil.copy2(os.path.join(CACHE, f), os.path.join(args.dir, f))
+                n += 1
+        print(f"synced {n} result files -> {args.dir}/")
+
+    groups, unpaired = load(args.dir)
+    byproto = defaultdict(list)
+    for (model, proto), seeds in sorted(groups.items()):
+        byproto[proto].append((model, seeds))
+
+    M = args.metric
+    for proto, entries in sorted(byproto.items()):
+        print(f"\n### protocol `{proto}`  (delta% = (ours - ref) / ref, "
+              f"metric {M})\n")
+        print(f"| Model | seeds | per-seed Δ{M} % | mean | std |")
+        print("|---|---|---|---|---|")
+        for model, seeds in entries:
+            ds = []
+            for s in sorted(seeds):
+                om, rm = seeds[s]
+                ds.append(100.0 * (om[M] - rm[M]) / rm[M])
+            mean = sum(ds) / len(ds)
+            std = (sum((d - mean) ** 2 for d in ds) / len(ds)) ** 0.5 \
+                if len(ds) > 1 else float("nan")
+            per = ", ".join(f"{d:+.2f}" for d in ds)
+            print(f"| {model} | {min(seeds)}–{max(seeds)} ({len(ds)}) "
+                  f"| {per} | **{mean:+.2f}** | {std:.2f} |")
+
+    if unpaired:
+        print(f"\n{len(unpaired)} single-sided (unpaired) results "
+              f"excluded: {[f'{m}_{s}_{p}' for m, s, p in unpaired]}")
+
+
+if __name__ == "__main__":
+    main()
