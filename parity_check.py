@@ -41,6 +41,15 @@ FOODCOM_SCALE = dict(n_users=7596, n_items=29943, n_ingredients=4963,
                      img_dim=2048, txt_dim=512, neg_num=500, latent_dim=8,
                      train_per_user=(20, 31), valid_per_user=(2, 7),
                      test_per_user=(8, 17), seed=17)
+# real Allrecipes operating point (BASELINE.md: 68,768 users / 45,630
+# items / ~677k train inters) — the remaining accuracy axis of the driver
+# target ("±0.5% on Allrecipes and Foodcom"). torch-side cost is the
+# constraint: budget ~4-6h per fixed-15 LightGCN run on this 1-core box.
+ALLRECIPES_SCALE = dict(n_users=68768, n_items=45630, n_ingredients=19987,
+                        n_cal_levels=60, n_health_levels=6, n_clusters=2000,
+                        img_dim=2048, txt_dim=512, neg_num=500, latent_dim=8,
+                        train_per_user=(7, 14), valid_per_user=(1, 4),
+                        test_per_user=(2, 7), seed=17)
 SCALE = TOY_SCALE
 
 # torch_score_by_user and the faithful-SCHGN ours scorer must block users
@@ -56,6 +65,9 @@ def select_scale(name):
     if name == "foodcom":
         SCALE = FOODCOM_SCALE
         DS = "FoodcomStruct"
+    elif name == "allrecipes":
+        SCALE = ALLRECIPES_SCALE
+        DS = "AllrecipesStruct"
     else:
         SCALE = TOY_SCALE
         DS = "StructSynth"
@@ -571,7 +583,8 @@ def main():
     ap.add_argument("--set", action="append", default=[], dest="overrides",
                     help="config override key=value applied to BOTH sides "
                          "(ablations, e.g. --set loss_cl=0); repeatable")
-    ap.add_argument("--scale", default="toy", choices=["toy", "foodcom"],
+    ap.add_argument("--scale", default="toy",
+                    choices=["toy", "foodcom", "allrecipes"],
                     help="'foodcom' = real Foodcom operating point "
                          "(7,596x29,943, 500 negatives, planted signal)")
     ap.add_argument("--mg", action="store_true",
