@@ -228,6 +228,14 @@ def generate(root, n_users=24, n_items=60, n_ingredients=12, n_cal_levels=4,
                   if j % n_health_levels == hl]
         write_study("health_level", f"data_health{hl}", bucket)
 
+    # Completion sentinel, written LAST. Generation at scale takes minutes
+    # and writes data.train.rating first — a concurrent reader that keys
+    # "dataset exists" off any data file can load a half-written dataset
+    # (observed: health_level dicts land ~5 min after the rating files at
+    # the 68.8k-user Allrecipes scale). Readers must key off this file.
+    with open(os.path.join(base, "_GEN_COMPLETE"), "w") as f:
+        f.write("ok\n")
+
     return {
         "n_users": n_users, "n_items": n_items, "n_ingredients": n_ingredients,
         "n_cal_levels": n_cal_levels, "n_health_levels": n_health_levels,

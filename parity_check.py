@@ -74,14 +74,44 @@ def select_scale(name):
 
 
 def ensure_dataset():
+    """Generate the structured synthetic once, safely under concurrency.
+
+    Campaign scripts run the torch side and the TPU side as separate
+    processes that may both reach here first. Generation at scale takes
+    minutes and writes data.train.rating FIRST, so "some data file exists"
+    is not "dataset is ready" — readers key off the _GEN_COMPLETE sentinel
+    the generator writes last, and an O_EXCL lockfile elects exactly one
+    generator; losers poll for the sentinel.
+    """
     from foodrec_tpu.data import synthetic
 
     root = os.path.join(DS_ROOT, DS)
-    if not os.path.isfile(os.path.join(root, "processed_dataset",
-                                       "data.train.rating")):
+    done = os.path.join(root, "processed_dataset", "_GEN_COMPLETE")
+    if os.path.isfile(done):
+        return DS_ROOT + "/"
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, ".gen_lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        # another process is (or was) generating: poll for its sentinel
+        print(f"# waiting on concurrent generation of {DS} "
+              f"(lock {lock})", flush=True)
+        for _ in range(360):  # up to 1h; Allrecipes scale measured ~8 min
+            if os.path.isfile(done):
+                return DS_ROOT + "/"
+            time.sleep(10)
+        raise RuntimeError(
+            f"dataset {root} locked by another generator but _GEN_COMPLETE "
+            f"never appeared; if that process died, rm {lock} and the "
+            f"partial dataset dir, then retry")
+    try:
         t0 = time.time()
         synthetic.generate(root, **SCALE)
         print(f"# generated {DS} in {time.time() - t0:.1f}s", flush=True)
+    finally:
+        os.unlink(lock)
     return DS_ROOT + "/"
 
 
