@@ -202,6 +202,18 @@ FOODCOM_HEALTH_CRITERIA = (
     lambda r: 55 <= r["carbohydrates"] <= 75,
 )
 
+# Allrecipes variant (allrecipes_process.ipynb cells 28-29): sugar/sodium are
+# absolute amounts rather than %DV, and a 7th fiber criterion is added.
+ALLRECIPES_HEALTH_CRITERIA = (
+    lambda r: 15 <= r["fat"] <= 30,
+    lambda r: r["sugar"] < 5,
+    lambda r: r["sodium"] < 2000,
+    lambda r: 10 <= r["protein"] <= 15,
+    lambda r: r["saturated_fat"] < 10,
+    lambda r: 55 <= r["carbohydrates"] <= 75,
+    lambda r: r["fiber"] > 10,
+)
+
 
 def build_health_levels(nutrition_df, base_dir,
                         criteria=FOODCOM_HEALTH_CRITERIA,
@@ -238,6 +250,45 @@ def build_health_levels(nutrition_df, base_dir,
     rr = np.stack([coo.row, coo.col, coo.data.astype(np.int64)], axis=1)
     np.savetxt(os.path.join(gdir, "rr_health_graph.txt"), rr, fmt="%d")
     return score, flags
+
+
+# keyword tag sets shared by both reference notebooks (foodcom cell 27 /
+# allrecipes cell 24): ingredients whose *name* contains the same keyword
+# get pairwise ii edges
+INGRE_KEYWORD_SETS = (
+    ("white", "black", "red", "green", "yellow"),                 # colors
+    ("slice", "dice", "minced", "powder", "roll", "shred"),       # shapes
+    ("deep-fry", "dry", "fry", "steam", "boil", "pickle"),        # cooking
+)
+
+
+def keyword_tag_edges(names_by_idx, keyword_sets=INGRE_KEYWORD_SETS,
+                      singleton_keep_p=None, seed=2024):
+    """Ingredient-ingredient edges from shared name keywords (foodcom
+    cell 27): per keyword, every pair of ingredients whose name contains it
+    gets an (i<j) edge; pairs are deduped across keywords and written in
+    BOTH directions. `singleton_keep_p` reproduces the Allrecipes variant
+    (cell 24): edges supported by exactly one keyword are kept with that
+    probability. Returns an int64 [E, 2] array (possibly empty)."""
+    from collections import defaultdict
+
+    edge_count = defaultdict(int)
+    for kwset in keyword_sets:
+        for kw in kwset:
+            members = [i for i, name in names_by_idx.items() if kw in name]
+            for a in range(len(members)):
+                for b in range(a + 1, len(members)):
+                    edge_count[(members[a], members[b])] += 1
+    rng = np.random.RandomState(seed)
+    edges = []
+    for (i, j), count in edge_count.items():
+        if (singleton_keep_p is not None and count == 1
+                and rng.rand() >= singleton_keep_p):
+            continue
+        edges.append([i, j])
+        edges.append([j, i])
+    return (np.asarray(edges, dtype=np.int64) if edges
+            else np.zeros((0, 2), dtype=np.int64))
 
 
 def cooccurrence_graph(item_tags, n_nodes, threshold=0):
@@ -360,7 +411,11 @@ def resnet50_image_features(image_paths, batch_size=32, backbone=None,
 def build_dataset(out_root, interactions, item_to_ingres, image_features,
                   text_features, calories_by_item=None, nutrition_df=None,
                   date_col="date", user_col="user_id", item_col="recipe_id",
-                  k_core=5, n_neg=500, n_clusters=2000, seed=2024):
+                  k_core=5, n_neg=500, n_clusters=2000, seed=2024,
+                  presplit=None, cal_bucket=50,
+                  health_criteria=FOODCOM_HEALTH_CRITERIA,
+                  ingre_names=None, ii_singleton_keep_p=None,
+                  write_health_sample=False):
     """Full offline pipeline: raw interaction dataframe + RAW-id-keyed
     per-item metadata -> the on-disk contract consumed by FoodData.
 
@@ -368,19 +423,32 @@ def build_dataset(out_root, interactions, item_to_ingres, image_features,
     `image_features` / `text_features`: dict raw_item_id -> 1-D vector.
     `calories_by_item`: dict raw_item_id -> calories.
     `nutrition_df`: dataframe with `item_col` + nutrient columns.
+    `presplit`: optional (train, valid, test) raw dataframes — skips the
+        k-core filter and temporal split (the Allrecipes path, which ships
+        its own core splits, allrecipes_process.ipynb cell 2).
+    `cal_bucket`: calorie bucket width (foodcom 50 / allrecipes 30).
+    `health_criteria`: per-row predicates (FOODCOM_/ALLRECIPES_ variants).
+    `ingre_names`: dict raw_ingre_id -> name; enables the keyword ii_graph
+        (FGCN input, foodcom cell 27 / allrecipes cell 24) with optional
+        `ii_singleton_keep_p` subsampling of single-keyword edges.
+    `write_health_sample`: also emit graph_edge/health_sample_dict.pkl
+        (health-stratified second-negative buckets, the shape the runtime
+        loads at dataset.py:286-292; the reference repo consumes but never
+        generates this file — neg_sample_set defaults to all train users).
     """
     base = os.path.join(out_root, "processed_dataset")
     os.makedirs(base, exist_ok=True)
 
-    df = k_core_filter(interactions, user_col, item_col, k=k_core)
-    train, valid, test = temporal_split(df, date_col, user_col)
+    if presplit is not None:
+        train, valid, test = presplit
+    else:
+        df = k_core_filter(interactions, user_col, item_col, k=k_core)
+        train, valid, test = temporal_split(df, date_col, user_col)
     (train, valid, test), user_to_idx, item_to_idx = encode_ids(
         [train, valid, test], user_col, item_col)
     n_users = len(user_to_idx)
     n_items = len(item_to_idx)
     write_rating_files(base, train, valid, test)
-    with open(os.path.join(base, "mapping_dict.pkl"), "wb") as f:
-        pickle.dump((user_to_idx, item_to_idx, None), f)
 
     sample_eval_negatives(train, valid, n_items,
                           os.path.join(base, "data.valid.negative"),
@@ -400,7 +468,9 @@ def build_dataset(out_root, interactions, item_to_ingres, image_features,
 
     item_to_ingres = {item_to_idx[r]: v for r, v in item_to_ingres.items()
                       if r in item_to_idx}
-    build_ingredient_codes(item_to_ingres, n_items, base)
+    _, _, ingre_to_idx = build_ingredient_codes(item_to_ingres, n_items, base)
+    with open(os.path.join(base, "mapping_dict.pkl"), "wb") as f:
+        pickle.dump((user_to_idx, item_to_idx, ingre_to_idx), f)
     # graph_edge copy of ri_graph (non-small_ingre path)
     gdir = os.path.join(base, "graph_edge")
     os.makedirs(gdir, exist_ok=True)
@@ -409,15 +479,34 @@ def build_dataset(out_root, interactions, item_to_ingres, image_features,
     shutil.copy(os.path.join(base, "ri_graph.txt"),
                 os.path.join(gdir, "ri_graph.txt"))
 
+    if ingre_names is not None:
+        names_by_idx = {ingre_to_idx[r]: str(ingre_names[r])
+                        for r in ingre_to_idx if r in ingre_names}
+        ii = keyword_tag_edges(names_by_idx,
+                               singleton_keep_p=ii_singleton_keep_p,
+                               seed=seed)
+        np.savetxt(os.path.join(gdir, "ii_graph.txt"), ii, fmt="%d")
+
     write_train_artifacts(train, n_users, n_items, base)
     if calories_by_item is not None:
         build_calorie_levels(
             {item_to_idx[r]: c for r, c in calories_by_item.items()
-             if r in item_to_idx}, base)
+             if r in item_to_idx}, base, bucket=cal_bucket)
     if nutrition_df is not None:
         ndf = nutrition_df[nutrition_df[item_col].isin(item_to_idx)].copy()
         ndf["i"] = ndf[item_col].map(item_to_idx)
-        build_health_levels(ndf, base)
+        score, _ = build_health_levels(ndf, base, criteria=health_criteria)
+        if write_health_sample:
+            # runtime contract (dataset.py:286-292 / reference
+            # dataloader.py:22-25): (neg_sample_set, health_0..health_5);
+            # scores above 5 fold into the top bucket
+            by_level = [[] for _ in range(6)]
+            for i, s in enumerate(score):
+                by_level[min(int(s), 5)].append(i)
+            neg_sample_set = set(train["u"].astype(int).tolist())
+            with open(os.path.join(gdir, "health_sample_dict.pkl"),
+                      "wb") as f:
+                pickle.dump((neg_sample_set, *by_level), f)
 
     cluster_dir = os.path.join(base, "cluster")
     kmeans_cluster_edges(np.asarray(image_features, np.float32), cluster_dir,
