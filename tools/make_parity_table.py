@@ -70,13 +70,65 @@ def load(results_dir):
     return groups, unpaired
 
 
+def scale_table(results_dir, metric):
+    """At-scale table: torch ref points are necessarily single-seed (hours
+    per run on the 1-core host), so print ours-side absolute mean±std over
+    all seeds next to every available ref point and the delta of means —
+    the honest comparison when the two sides have unequal seed counts."""
+    ours, ref = defaultdict(dict), defaultdict(dict)
+    for f in sorted(os.listdir(results_dir)):
+        if not f.endswith(".json"):
+            continue
+        side, name = (ref, f[4:]) if f.startswith("ref_") else (ours, f)
+        model, seed, proto = parse_name(name)
+        if "foodcom" not in proto and "allrecipes" not in proto:
+            continue
+        with open(os.path.join(results_dir, f)) as fh:
+            d = json.load(fh)
+        side[(model, proto)][seed] = d.get("metrics", d)
+
+    M = metric
+    print(f"\n### at-scale protocols (ours mean±std vs available ref "
+          f"points, metric {M})\n")
+    print(f"| Model / protocol | ours seeds | ours {M} mean±std "
+          f"| ref seeds | ref {M} | Δmeans % |")
+    print("|---|---|---|---|---|---|")
+    for (model, proto) in sorted(set(ours) | set(ref)):
+        ov = [ours[(model, proto)][s][M]
+              for s in sorted(ours.get((model, proto), {}))]
+        rv = [ref[(model, proto)][s][M]
+              for s in sorted(ref.get((model, proto), {}))]
+        omean = sum(ov) / len(ov) if ov else float("nan")
+        ostd = ((sum((v - omean) ** 2 for v in ov) / len(ov)) ** 0.5
+                if len(ov) > 1 else float("nan"))
+        rmean = sum(rv) / len(rv) if rv else float("nan")
+        delta = (100.0 * (omean - rmean) / rmean if ov and rv
+                 else float("nan"))
+        oseeds = ",".join(str(s) for s in sorted(ours.get((model, proto), {})))
+        rseeds = ",".join(str(s) for s in sorted(ref.get((model, proto), {})))
+        print(f"| {model} `{proto}` | {oseeds or '—'} "
+              f"| {omean:.4f} ± {ostd:.4f} | {rseeds or '—'} "
+              f"| {rmean:.4f} | {delta:+.2f} |")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="parity_results")
     ap.add_argument("--metric", default="NDCG@20")
     ap.add_argument("--sync", action="store_true",
                     help=f"copy {CACHE}/*.json into --dir first")
+    ap.add_argument("--scale-stats", action="store_true",
+                    help="print the at-scale ours-stats table and exit")
     args = ap.parse_args()
+
+    if args.scale_stats:
+        if args.sync:
+            for f in sorted(os.listdir(CACHE)):
+                if f.endswith(".json"):
+                    shutil.copy2(os.path.join(CACHE, f),
+                                 os.path.join(args.dir, f))
+        scale_table(args.dir, args.metric)
+        return
 
     if args.sync:
         os.makedirs(args.dir, exist_ok=True)
