@@ -79,6 +79,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--d", type=int, default=64)
     ap.add_argument("--edges", type=int, default=192000)
+    ap.add_argument("--users", type=int, default=7596,
+                    help="rows of the bipartite graph (Allrecipes ui: 68768)")
+    ap.add_argument("--items", type=int, default=29943,
+                    help="cols of the bipartite graph (Allrecipes ui: 45630)")
     args = ap.parse_args()
 
     import jax
@@ -87,7 +91,7 @@ def main():
     from foodrec_tpu.ops import spmm
     from foodrec_tpu.ops.spmm import Propagator
 
-    adj = build_graph(7596, 29943, args.edges)
+    adj = build_graph(args.users, args.items, args.edges)
     print(f"graph: n={adj.n_nodes} nnz={adj.nnz} maxdeg={adj.max_degree}")
     x = jax.random.normal(jax.random.PRNGKey(1), (adj.n_nodes, args.d),
                           jnp.float32)
