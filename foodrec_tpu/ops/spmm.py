@@ -55,7 +55,15 @@ def spmm_ell(ell_cols, ell_vals, x):
 # ---------------------------------------------------------------------------
 
 EDGE_BLOCK = 512   # edges per kernel step
-ROW_PANEL = 256    # output rows per panel (one-hot matmul N dimension)
+ROW_PANEL = 128    # output rows per panel (one-hot matmul N dimension)
+# Geometry from on-device sweeps (tools/spmm_microbench.py) at BOTH real
+# operating points: (512,128) is fastest everywhere — Foodcom ui 190k
+# edges (beats 512/256 by 2.3%), Allrecipes ui 677k edges (12.08 vs
+# 13.91ms fwd+bwd, -13%) and Allrecipes ri 395k edges (7.50 vs 7.70ms).
+# Smaller panels cost more blocks (pad_infl 1.18x vs 1.06x at 677k) but
+# each one-hot matmul is [eb,rp]x[eb,d] -> the rp=128 selection matrix
+# halves MXU N-dim padding waste and the panel output fits one (8,128)
+# vreg column, which wins despite the extra blocks.
 
 # MXU pass-count strategy for the f32 selection matmul. "highest" = Mosaic's
 # full f32 emulation; "3pass" = manual bf16 hi/lo split keeping the three
