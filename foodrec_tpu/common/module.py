@@ -31,6 +31,12 @@ ACT = {
     "swish": jax.nn.silu,
 }
 
+def _acc_dtype(x):
+    """MXU accumulation dtype: f32 for f32/bf16 inputs, f64 under x64 (the
+    gradient-certificate harness runs these modules in float64; a hard f32
+    preferred_element_type would silently downcast it)."""
+    return jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+
 
 def layer_norm(x, gamma, beta, eps=1e-5):
     mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -87,7 +93,7 @@ def _mha(p, x, nhead, pad_mask, drop_rate, key, deterministic):
 
     q, k, v = heads(q), heads(k), heads(v)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) / jnp.sqrt(dh)
+                        preferred_element_type=_acc_dtype(q)) / jnp.sqrt(dh)
     if pad_mask is not None:
         logits = jnp.where(pad_mask[:, None, None, :], -jnp.inf, logits)
     attn = jax.nn.softmax(logits, axis=-1)
@@ -98,7 +104,7 @@ def _mha(p, x, nhead, pad_mask, drop_rate, key, deterministic):
         key, k_d = jax.random.split(key)
         attn = dropout(k_d, attn, drop_rate, deterministic)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=_acc_dtype(q))
     out = out.transpose(0, 2, 1, 3).reshape(b, L, d)
     return out @ p["out_proj_w"] + p["out_proj_b"]
 
@@ -155,14 +161,14 @@ def target_attention_apply(p, query, kv, num_head, seq_ids=None,
     q = layer_norm(q, p["ln_g"], p["ln_b"], eps=1e-12)
     k = layer_norm(k, p["ln_g"], p["ln_b"], eps=1e-12)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * (dh ** -0.5)
+                        preferred_element_type=_acc_dtype(q)) * (dh ** -0.5)
     if seq_ids is not None:
         pad = (seq_ids == padding_idx)                    # [B, Lk]
         neg = jnp.float32(-(2.0 ** 32) + 1)
         logits = jnp.where(pad[:, None, None, :], neg, logits)
     attn = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=_acc_dtype(q))
     return out.transpose(0, 2, 1, 3).reshape(b, lq, d), attn
 
 
@@ -222,12 +228,12 @@ def bert_encoder_apply(params, x, attn_mask, nhead, act="gelu",
         k = heads(x @ p["k_w"] + p["k_b"])
         v = heads(x @ p["v_w"] + p["v_b"])
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) / jnp.sqrt(dh)
+                            preferred_element_type=_acc_dtype(q)) / jnp.sqrt(dh)
         logits = logits + attn_mask
         attn = jax.nn.softmax(logits, axis=-1)
         attn = dropout(k1, attn, attn_dropout, deterministic)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=_acc_dtype(q))
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, L, d)
         h = ctx @ p["dense_w"] + p["dense_b"]
         h = dropout(k2, h, hidden_dropout, deterministic)

@@ -18,8 +18,11 @@ Architecture (cikm_model.py:182-281):
 Faithful quirks kept:
   * forward()'s propagated ingredient output is discarded; the loss uses the
     raw ingre_embedding table (cikm_model.py:223-224)
-  * the ingredient pad row (id = n_ingredients) is xavier-initialized but
-    frozen (torch padding_idx zeroes its gradient after the re-init pass)
+  * the ingredient pad row (id = n_ingredients) is xavier-initialized (the
+    apply() re-init pass overwrites the padding_idx zeroing) and TRAINS
+    through the encoder/KD paths, which index `ingre_embedding.weight`
+    directly (cikm_model.py:224, 230); padding_idx zeroes its gradient only
+    on the reg path's module calls (cikm_model.py:270-271)
   * item_know sums normalized rows over all 20 positions (pads included) and
     divides by the true ingredient count (cikm_model.py:248-249)
 """
@@ -137,7 +140,7 @@ class CIKM_Model(GeneralRecommender):
         params = {
             "user_embedding": xavier_uniform(ks[0], (self.n_users, d)),
             "item_embedding": xavier_uniform(ks[1], (self.n_items, d)),
-            # pad row (last) is frozen in _ingre_table
+            # pad row (last) trains via encoder/KD, frozen on the reg path
             "ingre_embedding": xavier_uniform(
                 ks[2], (self.n_ingredients + 1, d)),
             "encoder": transformer_encoder_params(ks[3], d, 4 * d,
@@ -174,6 +177,18 @@ class CIKM_Model(GeneralRecommender):
         return {"image_embedding": items2, "text_embedding": items2}
 
     def _ingre_table(self, params):
+        """Raw table, pad row INCLUDED and trainable: the reference reads
+        `self.ingre_embedding.weight` directly (cikm_model.py:224, 230), so
+        torch's padding_idx grad-zeroing does NOT apply on the encoder/KD
+        paths — the pad row receives gradient there (verified by the f64
+        gradient certificate; freezing it was a r3 deviation of ~3e-5 relmax
+        on the ingredient-table gradient every step)."""
+        return params["ingre_embedding"]
+
+    def _ingre_table_reg(self, params):
+        """Reg-path table: cikm_model.py:270-271 goes through the
+        nn.Embedding module call, where padding_idx DOES zero the pad-row
+        gradient (torch embedding backward skips padding_idx)."""
         w = params["ingre_embedding"]
         return jnp.concatenate([w[:-1], jax.lax.stop_gradient(w[-1:])], axis=0)
 
@@ -264,12 +279,13 @@ class CIKM_Model(GeneralRecommender):
         kd_loss = jnp.maximum(0.0, kd - self.kd_threshold)
 
         # --- reg (cikm_model.py:266-279) -----------------------------------
+        reg_table = self._ingre_table_reg(params)
         reg_loss = self.reg_weight * emb_loss(
             params["user_embedding"][user],
             params["item_embedding"][pos_item],
             params["item_embedding"][neg_item],
-            ingre_table[self.ingre_codes[pos_item]],
-            ingre_table[self.ingre_codes[neg_item]],
+            reg_table[self.ingre_codes[pos_item]],
+            reg_table[self.ingre_codes[neg_item]],
             weight=w,
         )
         return (mf_loss, self.loss_health * health_loss,

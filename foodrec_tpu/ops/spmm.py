@@ -321,8 +321,10 @@ class Propagator:
             return spmm_ell(st["ell_cols"], vals, xc)
         if self.impl == "segment":
             vals = st["vals"].astype(dt) if dt is not None else st["vals"]
+            # undo a possible bf16 compute_dtype but keep f64 inputs f64
+            # (the x64 gradient-certificate path runs this impl on CPU)
             return spmm_coo(st["rows"], st["cols"], vals, xc,
-                            self.n_nodes).astype(jnp.float32)
+                            self.n_nodes).astype(x.dtype)
         # pallas: XLA does only the row gather; the edge scaling is folded
         # into the kernel's selection matrix (one HBM pass instead of two)
         xg = xc[st["cols_p"]]

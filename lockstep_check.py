@@ -1,0 +1,425 @@
+# coding: utf-8
+"""Lockstep trajectory parity: train the torch reference and foodrec-tpu on
+IDENTICAL initial parameters and an IDENTICAL recorded batch stream, then
+compare per-batch loss parts, per-epoch metrics, and final parameters.
+
+Why this exists (VERDICT r3, weak #5): at the real Foodcom operating point
+the flagship CIKM_Model's fixed-15-epoch endpoint scatters +-13% across
+seeds, so endpoint statistics cannot resolve the +-0.5% parity band at any
+torch-CPU budget this box affords (1 core, ~1,006s/epoch). Lockstep removes
+the seed axis entirely: with matched init and matched batches the two
+frameworks compute the same deterministic function, so any trajectory
+divergence beyond float accumulation-order noise is a semantic difference in
+model math, gradients, or the optimizer — exactly what a parity framework
+must certify. Cost is n_epochs of torch time with NO multi-seed multiplier.
+
+Protocol (both sides mirror parity_check.py's statistical harness):
+  ref side  (--side ref, JAX_PLATFORMS=cpu): builds the reference model
+    (reference FoodRec/models/*.py) exactly like parity_check.run_reference,
+    exports its init state mapped into our param layout, records every
+    (u_id, pos_i_id, neg_i_id) triple the TrainDataLoader emits, trains with
+    raw Adam + per-epoch LambdaLR, logs per-batch loss parts and per-epoch
+    test metrics.
+  ours side (--side ours, TPU): loads the recorded init, replays the exact
+    batch stream through model.calculate_loss + the Trainer's optax chain
+    (jax_default_matmul_precision=highest so the MXU doesn't inject bf16
+    noise into a float-parity experiment), logs the same quantities, and
+    writes a summary JSON with loss/metric/param deltas to parity_results/.
+
+Model notes:
+  * LightGCN: fully deterministic given the triple — the strictest target.
+  * CIKM_Model: attention dropout forced to 0.0 on BOTH sides (the only
+    train-time stochasticity inside the model; reference cikm_model.py:30).
+Stochastic pieces that live in the DATALOADER (negative choice, CIKM's
+teacher negatives) are recorded, so they are identical by construction.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import parity_check as pc  # noqa: E402  (shared scale/eval/ref plumbing)
+
+LOCK_ROOT = os.path.join(pc.DS_ROOT, "lockstep")
+
+
+# --------------------------------------------------------------- param maps
+# torch state -> our param pytree. Same mappings the full-model loss-parity
+# tests pin at toy scale (tests/test_cikm_full_parity.py::_copy_params,
+# tests/test_*); duplicated here because tests/ is not an importable package.
+
+def _t(x):
+    return np.asarray(x.detach().numpy())
+
+
+def map_lightgcn(ref):
+    """reference lightgcn.py:54-74 -> models/lightgcn.py init_params."""
+    return {
+        "user_embedding": _t(ref.user_embedding.weight),
+        "item_embedding": _t(ref.item_embedding.weight),
+        "image_trs": {"w": _t(ref.image_trs.weight).T,
+                      "b": _t(ref.image_trs.bias)},
+        "image_embedding": _t(ref.image_embedding.weight),
+    }
+
+
+def map_cikm(ref):
+    """reference cikm_model.py params -> models/cikm_model.py layout
+    (tests/test_cikm_full_parity.py::_copy_params)."""
+    enc = []
+    for tl in ref.ingr_encoder.layers:
+        enc.append({
+            "in_proj_w": _t(tl.self_attn.in_proj_weight).T,
+            "in_proj_b": _t(tl.self_attn.in_proj_bias),
+            "out_proj_w": _t(tl.self_attn.out_proj.weight).T,
+            "out_proj_b": _t(tl.self_attn.out_proj.bias),
+            "ff1_w": _t(tl.linear1.weight).T, "ff1_b": _t(tl.linear1.bias),
+            "ff2_w": _t(tl.linear2.weight).T, "ff2_b": _t(tl.linear2.bias),
+            "ln1_g": _t(tl.norm1.weight), "ln1_b": _t(tl.norm1.bias),
+            "ln2_g": _t(tl.norm2.weight), "ln2_b": _t(tl.norm2.bias),
+        })
+    return {
+        "user_embedding": _t(ref.user_embedding.weight),
+        "item_embedding": _t(ref.item_embedding.weight),
+        "ingre_embedding": _t(ref.ingre_embedding.weight),
+        "encoder": enc,
+        "mm_target_atten": {"ln_g": _t(ref.mm_target_atten.ln.weight),
+                            "ln_b": _t(ref.mm_target_atten.ln.bias)},
+        "ingre_target_atten": {"ln_g": _t(ref.ingre_target_atten.ln.weight),
+                               "ln_b": _t(ref.ingre_target_atten.ln.bias)},
+        "health_mlp": {"l1": {"w": _t(ref.health_mlp[0].weight).T,
+                              "b": _t(ref.health_mlp[0].bias)},
+                       "l2": {"w": _t(ref.health_mlp[2].weight).T,
+                              "b": _t(ref.health_mlp[2].bias)}},
+        "image_trs": {"w": _t(ref.image_trs.weight).T,
+                      "b": _t(ref.image_trs.bias)},
+        "text_trs": {"w": _t(ref.text_trs.weight).T,
+                     "b": _t(ref.text_trs.bias)},
+        "image_embedding": _t(ref.image_embedding.weight),
+        "text_embedding": _t(ref.text_embedding.weight),
+    }
+
+
+PARAM_MAPS = {"LightGCN": map_lightgcn, "CIKM_Model": map_cikm}
+# model-specific overrides applied to BOTH sides so the compared program is
+# deterministic given the recorded batch stream
+LOCK_OVERRIDES = {"CIKM_Model": {"attention_probs_dropout_prob": 0.0}}
+
+
+# ------------------------------------------------------------ pytree <-> npz
+def flatten_tree(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_tree(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_like(template, flat):
+    """Rebuild arrays into `template`'s structure from flatten_tree keys."""
+    def go(node, prefix):
+        if isinstance(node, dict):
+            return {k: go(v, f"{prefix}{k}/") for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            seq = [go(v, f"{prefix}{i}/") for i, v in enumerate(node)]
+            return type(node)(seq)
+        key = prefix[:-1]
+        arr = flat[key]
+        assert arr.shape == tuple(np.shape(node)), \
+            f"{key}: recorded {arr.shape} vs model {np.shape(node)}"
+        return arr
+    return go(template, "")
+
+
+def run_tag(args):
+    return f"{args.model}_{args.scale}_{args.seed}_{args.epochs}ep"
+
+
+# ----------------------------------------------------------------- ref side
+def run_ref(args, data_path, out_dir):
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    cwd = os.getcwd()
+    os.chdir("/root/reference/FoodRec")
+    try:
+        pc.patch_scipy_dok()
+        pc.install_torch_geometric_stub()
+        from FoodRec.utils.configurator import Config
+
+        config = Config(model=args.model, dataset=pc.DS,
+                        config_dict={"gpu_id": 0, "use_gpu": False,
+                                     "data_path": data_path,
+                                     "neg_sample_num": pc.SCALE["neg_num"],
+                                     "epochs": args.epochs,
+                                     **LOCK_OVERRIDES.get(args.model, {}),
+                                     **pc._merged_overrides(args.model)},
+                        mg=False)
+        base = data_path + pc.DS + "/processed_dataset/"
+        config["interaction_data_path"] = base
+        config["graph_data_path"] = base + "graph_edge/"
+        config["ingre_data_path"] = base
+
+        from FoodRec.utils.dataset import FoodData
+
+        torch.manual_seed(args.seed)
+        np.random.seed(args.seed)
+        dataset = FoodData(config)
+        import importlib
+
+        mod = importlib.import_module(f"FoodRec.models.{args.model.lower()}")
+        model = getattr(mod, args.model)(config, dataset)
+
+        np.savez(os.path.join(out_dir, "init_params.npz"),
+                 **flatten_tree(PARAM_MAPS[args.model](model)))
+
+        from torch.utils.data import DataLoader, RandomSampler
+
+        from FoodRec.utils.dataloader import TrainDataLoader
+
+        td = TrainDataLoader(config, dataset)
+        dl = DataLoader(td, batch_size=config["train_batch_size"],
+                        sampler=RandomSampler(td))
+        opt = torch.optim.Adam(model.parameters(),
+                               lr=config["learning_rate"])
+        sched = torch.optim.lr_scheduler.LambdaLR(
+            opt, lr_lambda=lambda e: config["learning_rate_scheduler"][0]
+            ** (e / config["learning_rate_scheduler"][1]))
+
+        eval_test = build_eval_test(data_path)
+        model.train()
+        u_rec, p_rec, n_rec = [], [], []
+        losses, metrics = [], []
+        for ep in range(args.epochs):
+            t0 = time.time()
+            ep_losses = []
+            for batch in dl:
+                u_rec.append(batch["u_id"].numpy().astype(np.int32))
+                p_rec.append(batch["pos_i_id"].numpy().astype(np.int32))
+                n_rec.append(batch["neg_i_id"].numpy().astype(np.int32))
+                opt.zero_grad()
+                parts = model.calculate_loss(batch)
+                sum(parts).backward()
+                opt.step()
+                ep_losses.append([float(x) for x in parts])
+            sched.step()
+            losses.append(ep_losses)
+            model.train()  # reference_test_metrics flips to eval()
+            m = pc.reference_test_metrics(model, args.model, dataset,
+                                          eval_test, pc.SCALE["neg_num"])
+            model.train()
+            metrics.append(m)
+            print(f"# ref epoch {ep + 1}/{args.epochs} "
+                  f"{time.time() - t0:.1f}s loss={ep_losses[-1]} "
+                  f"ndcg20={m['NDCG@20']:.4f}", flush=True)
+
+        np.savez(os.path.join(out_dir, "batches.npz"),
+                 u=np.concatenate(u_rec), pos=np.concatenate(p_rec),
+                 neg=np.concatenate(n_rec),
+                 sizes=np.array([len(x) for x in u_rec], np.int32))
+        np.save(os.path.join(out_dir, "ref_losses.npy"),
+                np.array(losses, dtype=np.float64))
+        np.savez(os.path.join(out_dir, "ref_final_params.npz"),
+                 **flatten_tree(PARAM_MAPS[args.model](model)))
+        with open(os.path.join(out_dir, "ref_metrics.json"), "w") as f:
+            json.dump(metrics, f)
+        with open(os.path.join(out_dir, "REF_COMPLETE"), "w") as f:
+            f.write("ok")
+        print("# ref side complete", flush=True)
+    finally:
+        os.chdir(cwd)
+
+
+def build_eval_test(data_path):
+    """Host-side test EvalSet (mirror of parity_check.main's local helper)."""
+    from foodrec_tpu.config import Config
+    from foodrec_tpu.data.dataset import FoodData, derive_data_paths
+    from foodrec_tpu.data.device import DeviceData
+
+    cfg = Config(model="LightGCN", dataset=pc.DS,
+                 config_dict={"data_path": data_path,
+                              "neg_sample_num": pc.SCALE["neg_num"]})
+    derive_data_paths(cfg, pc.DS)
+    data = FoodData(cfg)
+    return DeviceData.from_food_data(data, cfg).eval_test
+
+
+# ---------------------------------------------------------------- ours side
+def run_ours(args, data_path, out_dir):
+    import jax
+
+    # float-parity experiment: keep every f32 matmul in f32 on the MXU
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    import optax
+
+    from foodrec_tpu.config import Config
+    from foodrec_tpu.data.dataset import FoodData, derive_data_paths
+    from foodrec_tpu.data.device import DeviceData
+    from foodrec_tpu.engine.trainer import Trainer
+    from foodrec_tpu.models import get_model
+    from foodrec_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    cfg = Config(model=args.model, dataset=pc.DS,
+                 config_dict={"data_path": data_path,
+                              "neg_sample_num": pc.SCALE["neg_num"],
+                              "seed": args.seed, "epochs": args.epochs,
+                              **LOCK_OVERRIDES.get(args.model, {}),
+                              **pc._merged_overrides(args.model)})
+    derive_data_paths(cfg, pc.DS)
+    data = FoodData(cfg)
+    data.device_data = DeviceData.from_food_data(data, cfg)
+    model = get_model(args.model)(cfg, data)
+    trainer = Trainer(cfg, model)
+    assert not trainer.clip_grad_norm and not trainer.weight_decay, \
+        "lockstep mirrors parity_check.run_reference: raw Adam, no clip/wd"
+
+    init_flat = dict(np.load(os.path.join(out_dir, "init_params.npz")))
+    template = model.init_params(jax.random.PRNGKey(0))
+    params = jax.tree.map(jnp.asarray,
+                          unflatten_like(template, init_flat))
+    opt_state = trainer.optimizer.init(params)
+
+    rec = np.load(os.path.join(out_dir, "batches.npz"))
+    u_all, p_all, n_all = rec["u"], rec["pos"], rec["neg"]
+    sizes = rec["sizes"]
+    n_batches_ep = len(sizes) // args.epochs
+    assert len(sizes) % args.epochs == 0
+
+    def loss_and_parts(params, batch):
+        losses = model.calculate_loss(params, batch)
+        if not isinstance(losses, tuple):
+            losses = (losses,)
+        return sum(losses), jnp.stack([jnp.asarray(x) for x in losses])
+
+    grad_fn = jax.value_and_grad(loss_and_parts, has_aux=True)
+    fixed_key = jax.random.PRNGKey(0)  # dropout is 0 in lockstep; inert
+
+    @jax.jit
+    def step(buffers, params, opt_state, u, pos, neg):
+        with model.bind(buffers):
+            (_, parts), grads = grad_fn(
+                params, {"u_id": u, "pos_i_id": pos, "neg_i_id": neg,
+                         "key": fixed_key})
+        updates, opt_state = trainer.optimizer.update(grads, opt_state,
+                                                      params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, parts
+
+    losses, metrics = [], []
+    off = 0
+    for ep in range(args.epochs):
+        t0 = time.time()
+        ep_losses = []
+        for b in range(n_batches_ep):
+            sz = int(sizes[ep * n_batches_ep + b])
+            sl = slice(off, off + sz)
+            off += sz
+            params, opt_state, parts = step(
+                trainer._buffers, params, opt_state,
+                jnp.asarray(u_all[sl]), jnp.asarray(p_all[sl]),
+                jnp.asarray(n_all[sl]))
+            ep_losses.append(np.asarray(parts, np.float64).tolist())
+        losses.append(ep_losses)
+        m = pc.ours_eval(trainer, data, params,
+                         data.device_data.eval_test, args.model)
+        metrics.append(m)
+        print(f"# ours epoch {ep + 1}/{args.epochs} "
+              f"{time.time() - t0:.1f}s loss={ep_losses[-1]} "
+              f"ndcg20={m['NDCG@20']:.4f}", flush=True)
+
+    np.save(os.path.join(out_dir, "ours_losses.npy"),
+            np.array(losses, dtype=np.float64))
+    with open(os.path.join(out_dir, "ours_metrics.json"), "w") as f:
+        json.dump(metrics, f)
+    summarize(args, out_dir, params)
+
+
+def summarize(args, out_dir, ours_params):
+    ours_l = np.load(os.path.join(out_dir, "ours_losses.npy"))
+    ref_l = np.load(os.path.join(out_dir, "ref_losses.npy"))
+    with open(os.path.join(out_dir, "ref_metrics.json")) as f:
+        ref_m = json.load(f)
+    with open(os.path.join(out_dir, "ours_metrics.json")) as f:
+        ours_m = json.load(f)
+
+    tot_o = ours_l.sum(axis=2)          # [E, B]
+    tot_r = ref_l.sum(axis=2)
+    rel = np.abs(tot_o - tot_r) / (np.abs(tot_r) + 1e-12)
+    per_epoch = {
+        "mean_rel_total_loss_diff": [float(x) for x in rel.mean(axis=1)],
+        "max_rel_total_loss_diff": [float(x) for x in rel.max(axis=1)],
+    }
+    ref_fin = dict(np.load(os.path.join(out_dir, "ref_final_params.npz")))
+    ours_fin = flatten_tree(
+        __import__("jax").tree.map(np.asarray, ours_params))
+    pdrift = {}
+    for k, rv in ref_fin.items():
+        ov = ours_fin[k]
+        pdrift[k] = {
+            "max_abs": float(np.max(np.abs(ov - rv))),
+            "rel_fro": float(np.linalg.norm(ov - rv)
+                             / (np.linalg.norm(rv) + 1e-12)),
+        }
+    summary = {
+        "model": args.model, "scale": args.scale, "seed": args.seed,
+        "epochs": args.epochs, "overrides": LOCK_OVERRIDES.get(args.model, {}),
+        "step0_rel_total_loss_diff": float(rel[0, 0]),
+        "per_epoch": per_epoch,
+        "metrics_ref": ref_m, "metrics_ours": ours_m,
+        "final_metric_delta_pct": {
+            k: round((ours_m[-1][k] - ref_m[-1][k]) / ref_m[-1][k] * 100, 3)
+            for k in ref_m[-1]},
+        "final_param_drift": pdrift,
+        "final_param_rel_fro_max": max(v["rel_fro"] for v in pdrift.values()),
+    }
+    out = os.path.join(REPO, "parity_results",
+                       f"lockstep_{args.model}_{args.seed}_{args.scale}.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print("LOCKSTEP SUMMARY", json.dumps({
+        k: summary[k] for k in ("step0_rel_total_loss_diff", "per_epoch",
+                                "final_metric_delta_pct",
+                                "final_param_rel_fro_max")}), flush=True)
+    print(f"# wrote {out}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="LightGCN", choices=list(PARAM_MAPS))
+    ap.add_argument("--side", required=True, choices=["ref", "ours"])
+    ap.add_argument("--scale", default="foodcom",
+                    choices=["toy", "foodcom", "allrecipes"])
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=999)
+    args = ap.parse_args()
+
+    pc.select_scale(args.scale)
+    data_path = pc.ensure_dataset()
+    out_dir = os.path.join(LOCK_ROOT, run_tag(args))
+    os.makedirs(out_dir, exist_ok=True)
+
+    if args.side == "ref":
+        run_ref(args, data_path, out_dir)
+    else:
+        assert os.path.isfile(os.path.join(out_dir, "REF_COMPLETE")), \
+            f"run --side ref first (missing {out_dir}/REF_COMPLETE)"
+        run_ours(args, data_path, out_dir)
+
+
+if __name__ == "__main__":
+    main()

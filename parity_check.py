@@ -464,9 +464,12 @@ def run_reference(data_path, model_name, epochs, seed, eval_test):
             ** (e / config["learning_rate_scheduler"][1]))
         model.train()
         t0 = time.time()
-        for _ in range(epochs):
+        for ep in range(epochs):
+            te = time.time()
             _ref_run_epoch(model, dl, opt)
             sched.step()
+            print(f"# ref epoch {ep + 1}/{epochs} {time.time() - te:.1f}s",
+                  flush=True)
         wall = time.time() - t0
 
         metrics = reference_test_metrics(model, model_name, dataset,
