@@ -282,6 +282,12 @@ class SCHGN(GeneralRecommender):
         w = batch.get("weight")
         key = batch.get("key", jax.random.PRNGKey(0))
         k_pos, k_neg, k_ssl = jax.random.split(key, 3)
+        # deterministic mode for the gradient-certificate / lockstep
+        # harnesses: no score dropout (mirrors the reference called with
+        # is_training=False, schgn.py:267) and externally provided SSL
+        # sequences instead of the on-device mask stream
+        if batch.get("deterministic"):
+            k_pos = k_neg = None
 
         gcn_tables = self._gcn(params)
         pos_scores = self._score(params, gcn_tables, user, pos_item, True,
@@ -312,8 +318,13 @@ class SCHGN(GeneralRecommender):
         reg = reg + self.reg_g * jnp.sum(params["gcn"]["w"] ** 2)
 
         if self.use_ssl:
-            ssl = self.ssl * self._ssl_loss(params, gcn_tables[2],
-                                            pos_item, k_ssl)
+            if "ssl_masked_seq" in batch:
+                ssl = self.ssl * self._ssl_loss_from_seqs(
+                    params, gcn_tables[2], batch["ssl_masked_seq"],
+                    batch["ssl_pos_seq"], batch["ssl_neg_seq"], k_ssl)
+            else:
+                ssl = self.ssl * self._ssl_loss(params, gcn_tables[2],
+                                                pos_item, k_ssl)
         else:
             ssl = jnp.float32(0.0)
         return bpr, reg, ssl

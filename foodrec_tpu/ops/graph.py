@@ -67,7 +67,7 @@ def _to_ell(rows, cols, vals, n_nodes, max_degree=None):
     md = int(counts.max()) if max_degree is None else max_degree
     md = max(md, 1)
     ell_cols = np.zeros((n_nodes, md), dtype=np.int32)
-    ell_vals = np.zeros((n_nodes, md), dtype=np.float32)
+    ell_vals = np.zeros((n_nodes, md), dtype=vals.dtype)
     # rows is sorted; slot index = position within its row run
     slot = np.arange(len(rows)) - np.repeat(
         np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
@@ -79,9 +79,17 @@ def _to_ell(rows, cols, vals, n_nodes, max_degree=None):
 ELL_DEGREE_CAP = 96  # above this, the padded table wastes HBM on power-law rows
 
 
-def _build(rows, cols, vals, n_nodes, symmetric=False):
+def _build(rows, cols, vals, n_nodes, symmetric=False, vals_dtype=np.float32):
+    """vals_dtype matches each reference builder's own precision: f32 for the
+    FloatTensor-cast scipy builds (cikm_model.py:131/178, lightgcn.py:118,
+    fgcn.py:103), None (keep f64) for gcn_conv_adjacency — PyG's GCNConv
+    normalizes at RUNTIME in the input dtype, so the f64 gradient
+    certificate needs the unrounded values (device arrays still become f32
+    in production via jnp.asarray without x64; single rounding either way)."""
+    if vals_dtype is not None:
+        vals = vals.astype(vals_dtype)
     rows, cols, vals = _to_sorted_coo(
-        rows.astype(np.int64), cols.astype(np.int64), vals.astype(np.float32))
+        rows.astype(np.int64), cols.astype(np.int64), vals)
     md = int(np.bincount(rows, minlength=n_nodes).max()) if len(rows) else 1
     if md <= ELL_DEGREE_CAP:
         ell_cols, ell_vals, md = _to_ell(rows, cols, vals, n_nodes)
@@ -90,7 +98,7 @@ def _build(rows, cols, vals, n_nodes, symmetric=False):
     return NormalizedAdjacency(
         n_nodes=n_nodes,
         rows=rows.astype(np.int32), cols=cols.astype(np.int32),
-        vals=vals.astype(np.float32),
+        vals=vals,
         ell_cols=ell_cols, ell_vals=ell_vals, max_degree=md,
         symmetric=symmetric)
 
@@ -100,7 +108,10 @@ def transpose_adjacency(adj):
     custom-VJP backward of non-symmetric adjacencies)."""
     if adj.symmetric:
         return adj
-    return _build(adj.cols, adj.rows, adj.vals, adj.n_nodes)
+    # vals_dtype=None: vals already carry their final dtype — re-casting to
+    # f32 here would round only the BACKWARD adjacency of an f64 graph
+    # (caught by the gradient certificate: exact forward, 1e-8 backward)
+    return _build(adj.cols, adj.rows, adj.vals, adj.n_nodes, vals_dtype=None)
 
 
 def sym_normalized_adjacency(rows, cols, n_nodes, symmetrize=True):
@@ -123,9 +134,13 @@ def row_normalized_adjacency(rows, cols, n_nodes, symmetrize=True):
     cols = np.asarray(cols)
     if symmetrize:
         rows, cols = _dedup_symmetrize(rows, cols, n_nodes)
-    deg = np.bincount(rows, minlength=n_nodes).astype(np.float64)
+    # f32 reciprocal to match the reference bit-for-bit: fgcn.py:85-100 sums
+    # a float32 dok matrix and takes np.power(rowsum_f32, -1) in f32, which
+    # double-rounds differently from f64-then-cast on ~1ulp of rows (found by
+    # the f64 gradient certificate, tools/grad_certificate.py)
+    deg = np.bincount(rows, minlength=n_nodes).astype(np.float32)
     with np.errstate(divide="ignore"):
-        d_inv = np.power(deg, -1.0)
+        d_inv = np.power(deg, np.float32(-1.0))
     d_inv[np.isinf(d_inv)] = 0.0
     vals = d_inv[rows]
     return _build(rows, cols, vals, n_nodes)
@@ -149,8 +164,11 @@ def gcn_conv_adjacency(src, dst, n_nodes):
     deg = np.bincount(dst, minlength=n_nodes).astype(np.float64)
     d_inv_sqrt = np.power(np.maximum(deg, 1e-12), -0.5)
     vals = d_inv_sqrt[src] * d_inv_sqrt[dst]
-    # rows = dst so Propagator's y = A @ x aggregates incoming messages
-    return _build(dst, src, vals.astype(np.float32), n_nodes)
+    # rows = dst so Propagator's y = A @ x aggregates incoming messages.
+    # vals stay f64: GCNConv normalizes at runtime in the input dtype
+    # (stub in parity_check.py mirrors that), so the f64 certificate needs
+    # the unrounded values; production still lands f32 at jnp.asarray
+    return _build(dst, src, vals, n_nodes, vals_dtype=None)
 
 
 def bipartite_offset_edges(triples, offset_head=0, offset_tail=0):

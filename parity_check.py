@@ -289,8 +289,9 @@ def _mirrored_eval(model_name):
     flattened eval batch, so ours must score candidate blocks in EXACTLY the
     layout torch_score_by_user uses (same users_per_call, ragged final
     block, user-major flatten) for the comparison to isolate training."""
+    # default True since the r4 config flip (configs/model/SCHGN.yaml)
     return (model_name == "SCHGN"
-            and bool(EXTRA_OVERRIDES.get("schgn_faithful_interleave")))
+            and bool(EXTRA_OVERRIDES.get("schgn_faithful_interleave", True)))
 
 
 def ours_score_by_user(trainer, params, eval_set):
