@@ -20,13 +20,15 @@ run() {
   env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu OMP_NUM_THREADS=1 \
     timeout "$to" python -u parity_check.py --side ref "$@" \
     > "log/parity_r5/${name}_ref.log" 2>&1
-  echo "rc=$? $name done $(date +%H:%M:%S)"
+  rc=$?
+  echo "rc=$rc $name done $(date +%H:%M:%S)"
+  return $rc
 }
 
-run cikm999_foodcom   21600 --model CIKM_Model --epochs 15 --scale foodcom    --seeds 999
-echo R5_REF_CIKM_DONE
-run lgcn999_allrec    28800 --model LightGCN   --epochs 15 --scale allrecipes --seeds 999
-echo R5_REF_ALLREC_DONE
+run cikm999_foodcom   21600 --model CIKM_Model --epochs 15 --scale foodcom    --seeds 999 \
+  && echo R5_REF_CIKM_DONE  # marker gated on rc=0 (ADVICE r3)
+run lgcn999_allrec    28800 --model LightGCN   --epochs 15 --scale allrecipes --seeds 999 \
+  && echo R5_REF_ALLREC_DONE
 run lgcn1000_foodcom  10800 --model LightGCN   --epochs 15 --scale foodcom    --seeds 1000
 run bm31000_foodcom   10800 --model BM3        --epochs 15 --scale foodcom    --seeds 1000
 echo R5_REF_ALL_DONE

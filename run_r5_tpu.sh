@@ -16,17 +16,20 @@ cd /root/repo
 mkdir -p log/perf_r5
 
 probe_tunnel() {
-  while true; do
-    if timeout 90 python -c "import jax; assert jax.devices()[0].platform != 'cpu'" 2>/dev/null; then break; fi
+  # bounded (ADVICE r3): ~1h of dead tunnel -> emit a marker and give up
+  for _ in $(seq 1 20); do
+    if timeout 90 python -c "import jax; assert jax.devices()[0].platform != 'cpu'" 2>/dev/null; then return 0; fi
     sleep 180
   done
+  echo "R5_TPU_STALLED $(date +%H:%M:%S)"
+  return 1
 }
 
 step() {
   name="$1"; to="$2"; shift 2
-  probe_tunnel
+  probe_tunnel || return 1
   echo "=== $name: $* === $(date +%H:%M:%S)"
-  timeout "$to" nice -n 19 "$@" > "log/perf_r5/${name}.log" 2>&1
+  timeout "$to" "$@" > "log/perf_r5/${name}.log" 2>&1
   echo "rc=$? $name done $(date +%H:%M:%S)"
 }
 

@@ -40,6 +40,11 @@ def load(results_dir):
     for f in sorted(os.listdir(results_dir)):
         if not f.endswith(".json"):
             continue
+        # deterministic-parity artifacts live alongside the per-seed metric
+        # caches but have their own schema (tools/grad_certificate.py,
+        # lockstep_check.py) — skip them here
+        if f.startswith(("gradcert_", "lockstep_")):
+            continue
         side, name = (ref, f[4:]) if f.startswith("ref_") else (ours, f)
         with open(os.path.join(results_dir, f)) as fh:
             d = json.load(fh)
@@ -78,6 +83,11 @@ def scale_table(results_dir, metric):
     ours, ref = defaultdict(dict), defaultdict(dict)
     for f in sorted(os.listdir(results_dir)):
         if not f.endswith(".json"):
+            continue
+        # deterministic-parity artifacts live alongside the per-seed metric
+        # caches but have their own schema (tools/grad_certificate.py,
+        # lockstep_check.py) — skip them here
+        if f.startswith(("gradcert_", "lockstep_")):
             continue
         side, name = (ref, f[4:]) if f.startswith("ref_") else (ours, f)
         model, seed, proto = parse_name(name)
