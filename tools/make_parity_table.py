@@ -97,17 +97,35 @@ def scale_table(results_dir, metric):
             d = json.load(fh)
         side[(model, proto)][seed] = d.get("metrics", d)
 
+    # ours-only config flags (see load()): a tagged ours protocol pairs
+    # with the UNtagged ref protocol — the torch side has no such switch.
+    def base_proto(proto):
+        for flag in ("schgn_faithful_interleave",):
+            proto = re.sub(rf"_{re.escape(flag)}=[A-Za-z0-9.~\-]+", "",
+                           proto)
+        return proto
+
     M = metric
     print(f"\n### at-scale protocols (ours mean±std vs available ref "
           f"points, metric {M})\n")
     print(f"| Model / protocol | ours seeds | ours {M} mean±std "
           f"| ref seeds | ref {M} | Δmeans % |")
     print("|---|---|---|---|---|---|")
+    consumed = {(m, base_proto(p)) for (m, p) in ours}
     for (model, proto) in sorted(set(ours) | set(ref)):
         ov = [ours[(model, proto)][s][M]
               for s in sorted(ours.get((model, proto), {}))]
-        rv = [ref[(model, proto)][s][M]
-              for s in sorted(ref.get((model, proto), {}))]
+        rk = (model, proto) if (model, proto) in ref \
+            else (model, base_proto(proto))
+        rv = [ref[rk][s][M] for s in sorted(ref.get(rk, {}))] \
+            if (model, proto) in ours else []
+        # a ref-only protocol row prints its own points, unless a tagged
+        # ours row above already pairs against it
+        if not ov:
+            if (model, proto) in consumed:
+                continue
+            rv = [ref[(model, proto)][s][M]
+                  for s in sorted(ref[(model, proto)])]
         omean = sum(ov) / len(ov) if ov else float("nan")
         ostd = ((sum((v - omean) ** 2 for v in ov) / len(ov)) ** 0.5
                 if len(ov) > 1 else float("nan"))
@@ -115,7 +133,8 @@ def scale_table(results_dir, metric):
         delta = (100.0 * (omean - rmean) / rmean if ov and rv
                  else float("nan"))
         oseeds = ",".join(str(s) for s in sorted(ours.get((model, proto), {})))
-        rseeds = ",".join(str(s) for s in sorted(ref.get((model, proto), {})))
+        rseeds = ",".join(
+            str(s) for s in sorted(ref.get(rk if ov else (model, proto), {})))
         print(f"| {model} `{proto}` | {oseeds or '—'} "
               f"| {omean:.4f} ± {ostd:.4f} | {rseeds or '—'} "
               f"| {rmean:.4f} | {delta:+.2f} |")
