@@ -289,6 +289,15 @@ def run_ours(args, data_path, out_dir):
         "lockstep mirrors parity_check.run_reference: raw Adam, no clip/wd"
 
     init_flat = dict(np.load(os.path.join(out_dir, "init_params.npz")))
+    if args.perturb:
+        # Chaos control: multiplicative O(perturb) relative noise on the
+        # SAME init, SAME batches, SAME framework. If this ours-vs-ours pair
+        # diverges as much as ref-vs-ours, the lockstep drift is Lyapunov
+        # amplification of float noise, not a semantic difference.
+        rng = np.random.default_rng(args.seed)
+        init_flat = {k: v * (1.0 + args.perturb
+                             * rng.standard_normal(v.shape).astype(v.dtype))
+                     for k, v in init_flat.items()}
     template = model.init_params(jax.random.PRNGKey(0))
     params = jax.tree.map(jnp.asarray,
                           unflatten_like(template, init_flat))
@@ -342,19 +351,35 @@ def run_ours(args, data_path, out_dir):
               f"{time.time() - t0:.1f}s loss={ep_losses[-1]} "
               f"ndcg20={m['NDCG@20']:.4f}", flush=True)
 
-    np.save(os.path.join(out_dir, "ours_losses.npy"),
+    sfx = f"_p{args.perturb:g}" if args.perturb else ""
+    np.save(os.path.join(out_dir, f"ours_losses{sfx}.npy"),
             np.array(losses, dtype=np.float64))
-    with open(os.path.join(out_dir, "ours_metrics.json"), "w") as f:
+    with open(os.path.join(out_dir, f"ours_metrics{sfx}.json"), "w") as f:
         json.dump(metrics, f)
+    np.savez(os.path.join(out_dir, f"ours_final_params{sfx}.npz"),
+             **flatten_tree(jax.tree.map(np.asarray, params)))
     summarize(args, out_dir, params)
 
 
+def _drift(a_flat, b_flat):
+    out = {}
+    for k, rv in b_flat.items():
+        ov = a_flat[k]
+        out[k] = {
+            "max_abs": float(np.max(np.abs(ov - rv))),
+            "rel_fro": float(np.linalg.norm(ov - rv)
+                             / (np.linalg.norm(rv) + 1e-12)),
+        }
+    return out
+
+
 def summarize(args, out_dir, ours_params):
-    ours_l = np.load(os.path.join(out_dir, "ours_losses.npy"))
+    sfx = f"_p{args.perturb:g}" if args.perturb else ""
+    ours_l = np.load(os.path.join(out_dir, f"ours_losses{sfx}.npy"))
     ref_l = np.load(os.path.join(out_dir, "ref_losses.npy"))
     with open(os.path.join(out_dir, "ref_metrics.json")) as f:
         ref_m = json.load(f)
-    with open(os.path.join(out_dir, "ours_metrics.json")) as f:
+    with open(os.path.join(out_dir, f"ours_metrics{sfx}.json")) as f:
         ours_m = json.load(f)
 
     tot_o = ours_l.sum(axis=2)          # [E, B]
@@ -367,17 +392,11 @@ def summarize(args, out_dir, ours_params):
     ref_fin = dict(np.load(os.path.join(out_dir, "ref_final_params.npz")))
     ours_fin = flatten_tree(
         __import__("jax").tree.map(np.asarray, ours_params))
-    pdrift = {}
-    for k, rv in ref_fin.items():
-        ov = ours_fin[k]
-        pdrift[k] = {
-            "max_abs": float(np.max(np.abs(ov - rv))),
-            "rel_fro": float(np.linalg.norm(ov - rv)
-                             / (np.linalg.norm(rv) + 1e-12)),
-        }
+    pdrift = _drift(ours_fin, ref_fin)
     summary = {
         "model": args.model, "scale": args.scale, "seed": args.seed,
         "epochs": args.epochs, "overrides": LOCK_OVERRIDES.get(args.model, {}),
+        "perturb": args.perturb,
         "step0_rel_total_loss_diff": float(rel[0, 0]),
         "per_epoch": per_epoch,
         "metrics_ref": ref_m, "metrics_ours": ours_m,
@@ -387,14 +406,40 @@ def summarize(args, out_dir, ours_params):
         "final_param_drift": pdrift,
         "final_param_rel_fro_max": max(v["rel_fro"] for v in pdrift.values()),
     }
+    base_l_path = os.path.join(out_dir, "ours_losses.npy")
+    base_p_path = os.path.join(out_dir, "ours_final_params.npz")
+    if args.perturb and os.path.isfile(base_l_path) \
+            and os.path.isfile(base_p_path):
+        # ours-vs-ours control: same framework, same batches, O(perturb)
+        # init noise. This is the divergence floor any cross-framework
+        # comparison must be judged against.
+        base_l = np.load(base_l_path).sum(axis=2)
+        relc = np.abs(tot_o - base_l) / (np.abs(base_l) + 1e-12)
+        with open(os.path.join(out_dir, "ours_metrics.json")) as f:
+            base_m = json.load(f)
+        cdrift = _drift(ours_fin, dict(np.load(base_p_path)))
+        summary["vs_unperturbed_ours"] = {
+            "per_epoch_mean_rel_total_loss_diff":
+                [float(x) for x in relc.mean(axis=1)],
+            "per_epoch_max_rel_total_loss_diff":
+                [float(x) for x in relc.max(axis=1)],
+            "final_metric_delta_pct": {
+                k: round((ours_m[-1][k] - base_m[-1][k])
+                         / base_m[-1][k] * 100, 3) for k in base_m[-1]},
+            "final_param_rel_fro_max":
+                max(v["rel_fro"] for v in cdrift.values()),
+        }
     out = os.path.join(REPO, "parity_results",
-                       f"lockstep_{args.model}_{args.seed}_{args.scale}.json")
+                       f"lockstep_{args.model}_{args.seed}_"
+                       f"{args.scale}{sfx}.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)
     print("LOCKSTEP SUMMARY", json.dumps({
         k: summary[k] for k in ("step0_rel_total_loss_diff", "per_epoch",
                                 "final_metric_delta_pct",
-                                "final_param_rel_fro_max")}), flush=True)
+                                "final_param_rel_fro_max",
+                                "vs_unperturbed_ours") if k in summary}),
+          flush=True)
     print(f"# wrote {out}", flush=True)
 
 
@@ -406,7 +451,12 @@ def main():
                     choices=["toy", "foodcom", "allrecipes"])
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--seed", type=int, default=999)
+    ap.add_argument("--perturb", type=float, default=0.0,
+                    help="ours side only: relative init perturbation for the"
+                         " ours-vs-ours chaos control (e.g. 1e-6)")
     args = ap.parse_args()
+    if args.perturb and args.side != "ours":
+        ap.error("--perturb is an ours-side control")
 
     pc.select_scale(args.scale)
     data_path = pc.ensure_dataset()
