@@ -32,6 +32,14 @@ Model notes:
     train-time stochasticity inside the model; reference cikm_model.py:30).
 Stochastic pieces that live in the DATALOADER (negative choice, CIKM's
 teacher negatives) are recorded, so they are identical by construction.
+
+Decomposition axes (ours side), each measured against the exact replay:
+  --perturb 1e-6        chaos control: ours-vs-ours divergence floor
+  --precision default   bf16-MXU rounding axis (production matmul mode)
+  --init-mode ours      init-distribution axis (our draw, torch batches)
+  --stream native       sampler axis (torch init, our sampler stream)
+Together these attribute any independent-run endpoint delta to one of
+{dynamics, precision, init family, sampler distribution, seed noise}.
 """
 
 import argparse
@@ -260,8 +268,13 @@ def build_eval_test(data_path):
 def run_ours(args, data_path, out_dir):
     import jax
 
-    # float-parity experiment: keep every f32 matmul in f32 on the MXU
-    jax.config.update("jax_default_matmul_precision", "highest")
+    # float-parity experiment: keep every f32 matmul in f32 on the MXU.
+    # --precision default leaves the production matmul mode in place, which
+    # turns the replay into a measurement of how much bf16-MXU rounding alone
+    # moves the endpoint (same init, same batches, only the matmul mode
+    # differs from the exact replay).
+    if args.precision == "highest":
+        jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
     import optax
 
@@ -288,7 +301,17 @@ def run_ours(args, data_path, out_dir):
     assert not trainer.clip_grad_norm and not trainer.weight_decay, \
         "lockstep mirrors parity_check.run_reference: raw Adam, no clip/wd"
 
-    init_flat = dict(np.load(os.path.join(out_dir, "init_params.npz")))
+    if args.init_mode == "ours":
+        # our own init draw instead of the torch-recorded one. Against the
+        # exact replay this isolates the INIT-DISTRIBUTION axis: batches are
+        # still the torch stream, so any endpoint shift is carried entirely
+        # by the init families differing (reference init.py xavier semantics
+        # vs common/init.py), not by dynamics or sampling.
+        ik = args.seed if args.init_key is None else args.init_key
+        init_flat = flatten_tree(jax.tree.map(
+            np.asarray, model.init_params(jax.random.PRNGKey(ik))))
+    else:
+        init_flat = dict(np.load(os.path.join(out_dir, "init_params.npz")))
     if args.perturb:
         # Chaos control: multiplicative O(perturb) relative noise on the
         # SAME init, SAME batches, SAME framework. If this ours-vs-ours pair
@@ -302,6 +325,33 @@ def run_ours(args, data_path, out_dir):
     params = jax.tree.map(jnp.asarray,
                           unflatten_like(template, init_flat))
     opt_state = trainer.optimizer.init(params)
+
+    if args.stream == "native":
+        # our own sampler/shuffle stream instead of the torch-recorded
+        # batches. Against the exact replay this isolates the SAMPLER axis:
+        # init is still the torch draw (unless --init-mode ours), so any
+        # endpoint shift beyond seed noise is carried by the draw
+        # distributions (device PRNG permutation + rejection negatives vs
+        # the reference DataLoader), not by dynamics.
+        key = jax.random.PRNGKey(args.stream_key)
+        metrics = []
+        for ep in range(args.epochs):
+            t0 = time.time()
+            key, k = jax.random.split(key)
+            params, opt_state, parts = trainer._epoch_fn(params, opt_state,
+                                                         k)
+            m = pc.ours_eval(trainer, data, params,
+                             data.device_data.eval_test, args.model)
+            metrics.append(m)
+            print(f"# ours(native) epoch {ep + 1}/{args.epochs} "
+                  f"{time.time() - t0:.1f}s ndcg20={m['NDCG@20']:.4f}",
+                  flush=True)
+        sfx = _sfx(args)
+        with open(os.path.join(out_dir, f"ours_metrics{sfx}.json"),
+                  "w") as f:
+            json.dump(metrics, f)
+        summarize_native(args, out_dir, metrics)
+        return
 
     rec = np.load(os.path.join(out_dir, "batches.npz"))
     u_all, p_all, n_all = rec["u"], rec["pos"], rec["neg"]
@@ -351,7 +401,7 @@ def run_ours(args, data_path, out_dir):
               f"{time.time() - t0:.1f}s loss={ep_losses[-1]} "
               f"ndcg20={m['NDCG@20']:.4f}", flush=True)
 
-    sfx = f"_p{args.perturb:g}" if args.perturb else ""
+    sfx = _sfx(args)
     np.save(os.path.join(out_dir, f"ours_losses{sfx}.npy"),
             np.array(losses, dtype=np.float64))
     with open(os.path.join(out_dir, f"ours_metrics{sfx}.json"), "w") as f:
@@ -359,6 +409,50 @@ def run_ours(args, data_path, out_dir):
     np.savez(os.path.join(out_dir, f"ours_final_params{sfx}.npz"),
              **flatten_tree(jax.tree.map(np.asarray, params)))
     summarize(args, out_dir, params)
+
+
+def _sfx(args):
+    """Artifact suffix encoding every non-default ours-side axis."""
+    s = ""
+    if args.perturb:
+        s += f"_p{args.perturb:g}"
+    if args.precision != "highest":
+        s += "_prec-default"
+    if args.init_mode != "torch":
+        s += "_init-ours"
+        if args.init_key is not None and args.init_key != args.seed:
+            s += f"{args.init_key}"
+    if args.stream != "replay":
+        s += f"_native{args.stream_key}"
+    return s
+
+
+def summarize_native(args, out_dir, ours_m):
+    """Summary for --stream native runs: metrics only (there is no per-batch
+    loss correspondence once the batch streams differ)."""
+    with open(os.path.join(out_dir, "ref_metrics.json")) as f:
+        ref_m = json.load(f)
+    summary = {
+        "model": args.model, "scale": args.scale, "seed": args.seed,
+        "epochs": args.epochs,
+        "overrides": LOCK_OVERRIDES.get(args.model, {}),
+        "perturb": args.perturb, "precision": args.precision,
+        "init_mode": args.init_mode, "init_key": args.init_key,
+        "stream": args.stream, "stream_key": args.stream_key,
+        "metrics_ref": ref_m, "metrics_ours": ours_m,
+        "final_metric_delta_pct": {
+            k: round((ours_m[-1][k] - ref_m[-1][k]) / ref_m[-1][k] * 100, 3)
+            for k in ref_m[-1]},
+    }
+    out = os.path.join(REPO, "parity_results",
+                       f"lockstep_{args.model}_{args.seed}_"
+                       f"{args.scale}{_sfx(args)}.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print("LOCKSTEP SUMMARY", json.dumps(
+        {"final_metric_delta_pct": summary["final_metric_delta_pct"]}),
+        flush=True)
+    print(f"# wrote {out}", flush=True)
 
 
 def _drift(a_flat, b_flat):
@@ -374,7 +468,7 @@ def _drift(a_flat, b_flat):
 
 
 def summarize(args, out_dir, ours_params):
-    sfx = f"_p{args.perturb:g}" if args.perturb else ""
+    sfx = _sfx(args)
     ours_l = np.load(os.path.join(out_dir, f"ours_losses{sfx}.npy"))
     ref_l = np.load(os.path.join(out_dir, "ref_losses.npy"))
     with open(os.path.join(out_dir, "ref_metrics.json")) as f:
@@ -396,7 +490,9 @@ def summarize(args, out_dir, ours_params):
     summary = {
         "model": args.model, "scale": args.scale, "seed": args.seed,
         "epochs": args.epochs, "overrides": LOCK_OVERRIDES.get(args.model, {}),
-        "perturb": args.perturb,
+        "perturb": args.perturb, "precision": args.precision,
+        "init_mode": args.init_mode, "init_key": args.init_key,
+        "stream": args.stream,
         "step0_rel_total_loss_diff": float(rel[0, 0]),
         "per_epoch": per_epoch,
         "metrics_ref": ref_m, "metrics_ours": ours_m,
@@ -454,9 +550,30 @@ def main():
     ap.add_argument("--perturb", type=float, default=0.0,
                     help="ours side only: relative init perturbation for the"
                          " ours-vs-ours chaos control (e.g. 1e-6)")
+    ap.add_argument("--precision", default="highest",
+                    choices=["highest", "default"],
+                    help="ours side: matmul precision; 'default' keeps the "
+                         "production bf16-MXU mode (precision axis)")
+    ap.add_argument("--init-mode", default="torch",
+                    choices=["torch", "ours"], dest="init_mode",
+                    help="ours side: 'ours' replaces the recorded torch init"
+                         " with our own draw (init-distribution axis)")
+    ap.add_argument("--stream", default="replay",
+                    choices=["replay", "native"],
+                    help="ours side: 'native' trains on our own sampler "
+                         "stream instead of the recorded batches (sampler "
+                         "axis); metrics-only summary")
+    ap.add_argument("--stream-key", type=int, default=0, dest="stream_key",
+                    help="PRNG key for --stream native (vary for repeats)")
+    ap.add_argument("--init-key", type=int, default=None, dest="init_key",
+                    help="PRNG key for --init-mode ours (defaults to --seed;"
+                         " vary for repeats)")
     args = ap.parse_args()
-    if args.perturb and args.side != "ours":
-        ap.error("--perturb is an ours-side control")
+    if args.side != "ours" and (args.perturb or args.precision != "highest"
+                                or args.init_mode != "torch"
+                                or args.stream != "replay"):
+        ap.error("--perturb/--precision/--init-mode/--stream are ours-side "
+                 "controls")
 
     pc.select_scale(args.scale)
     data_path = pc.ensure_dataset()
