@@ -30,6 +30,9 @@ Model notes:
   * LightGCN: fully deterministic given the triple — the strictest target.
   * CIKM_Model: attention dropout forced to 0.0 on BOTH sides (the only
     train-time stochasticity inside the model; reference cikm_model.py:30).
+  * BM3: BYOL target dropout forced to 0.0 on BOTH sides (reference
+    bm3.py:110-123) — the bootstrap losses become deterministic given the
+    recorded (u, pos) pairs.
 Stochastic pieces that live in the DATALOADER (negative choice, CIKM's
 teacher negatives) are recorded, so they are identical by construction.
 
@@ -115,10 +118,32 @@ def map_cikm(ref):
     }
 
 
-PARAM_MAPS = {"LightGCN": map_lightgcn, "CIKM_Model": map_cikm}
+def map_bm3(ref):
+    """reference bm3.py:42-59 -> models/bm3.py init_params."""
+    return {
+        "user_embedding": _t(ref.user_embedding.weight),
+        "item_id_embedding": _t(ref.item_id_embedding.weight),
+        "predictor": {"w": _t(ref.predictor.weight).T,
+                      "b": _t(ref.predictor.bias)},
+        "image_embedding": _t(ref.image_embedding.weight),
+        "image_trs": {"w": _t(ref.image_trs.weight).T,
+                      "b": _t(ref.image_trs.bias)},
+        "text_embedding": _t(ref.text_embedding.weight),
+        "text_trs": {"w": _t(ref.text_trs.weight).T,
+                     "b": _t(ref.text_trs.bias)},
+    }
+
+
+PARAM_MAPS = {"LightGCN": map_lightgcn, "CIKM_Model": map_cikm,
+              "BM3": map_bm3}
 # model-specific overrides applied to BOTH sides so the compared program is
 # deterministic given the recorded batch stream
-LOCK_OVERRIDES = {"CIKM_Model": {"attention_probs_dropout_prob": 0.0}}
+LOCK_OVERRIDES = {"CIKM_Model": {"attention_probs_dropout_prob": 0.0},
+                  # BM3's only train-time stochasticity is the BYOL target
+                  # dropout (reference bm3.py:110-123, torch RNG — not
+                  # replayable); 0.0 makes both sides deterministic given
+                  # the recorded triples.
+                  "BM3": {"dropout": 0.0}}
 
 
 # ------------------------------------------------------------ pytree <-> npz
