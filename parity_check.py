@@ -371,6 +371,25 @@ def best_upon_valid(evaluate_at, epochs, eval_each=10):
     return best_t, best_e
 
 
+def ours_stream_key(seed):
+    """Per-seed device sampler stream (protocol v2).
+
+    v1 pinned this to PRNGKey(0) for EVERY seed, which correlated all
+    "independent" ours-side runs through one shared negative-sampling
+    stream, while the torch side's sampler varies with the seed
+    (np.random.seed(seed) feeds dataloader.py:145-151). The LightGCN
+    at-scale lockstep decomposition measured the stream axis at +-0.4%
+    NDCG@20 scatter per draw (parity_results/lockstep_*_native*.json), so
+    one shared unlucky draw can shift a whole multi-seed mean by that much
+    while leaving the per-seed std artificially tight. fold_in(1) keeps
+    the stream distinct from the init draw (PRNGKey(seed)) while staying
+    seed-determined, mirroring Trainer.fit's split-from-seed semantics
+    (engine/trainer.py:498-499).
+    """
+    import jax
+    return jax.random.fold_in(jax.random.PRNGKey(seed), 1)
+
+
 def run_ours(data_path, model_name, epochs, seed):
     from foodrec_tpu.config import Config
     from foodrec_tpu.data.dataset import FoodData, derive_data_paths
@@ -395,7 +414,7 @@ def run_ours(data_path, model_name, epochs, seed):
 
     params = model.init_params(jax.random.PRNGKey(seed))
     opt_state = trainer.optimizer.init(params)
-    key = jax.random.PRNGKey(0)
+    key = ours_stream_key(seed)
     # compile warmup on SEPARATE throwaway state (the epoch donates its
     # params/opt_state buffers) so `wall` is pure run time
     _p = model.init_params(jax.random.PRNGKey(1))
@@ -504,7 +523,7 @@ def run_ours_early_stop(data_path, model_name, epochs, seed, eval_each=10):
     trainer = Trainer(cfg, model, mg=bool(MG))
 
     state = {"params": model.init_params(jax.random.PRNGKey(seed)),
-             "key": jax.random.PRNGKey(0), "epoch": 0}
+             "key": ours_stream_key(seed), "epoch": 0}
     state["opt"] = trainer.optimizer.init(state["params"])
 
     def evaluate_at(n):

@@ -62,3 +62,21 @@ def test_sfx_encodes_each_axis_once():
 
 def test_run_tag_names_the_recording_dir():
     assert lc.run_tag(_args()) == "LightGCN_foodcom_999_15ep"
+
+
+def test_ours_stream_key_varies_with_seed():
+    """Protocol v2: the device sampler stream must be seed-derived AND
+    distinct from the init draw. v1 pinned it to PRNGKey(0) for every
+    seed, correlating all 'independent' ours-side parity runs through one
+    shared stream draw (the torch side varies its sampler with the seed,
+    dataloader.py:145-151) — the stream axis alone scatters +-0.4% NDCG@20
+    at Foodcom scale, enough to bias a whole multi-seed mean."""
+    import jax
+
+    import parity_check as pc
+
+    k998, k999 = pc.ours_stream_key(998), pc.ours_stream_key(999)
+    assert not np.array_equal(np.asarray(k998), np.asarray(k999))
+    # distinct from the init key for the same seed
+    assert not np.array_equal(np.asarray(k999),
+                              np.asarray(jax.random.PRNGKey(999)))
