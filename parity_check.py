@@ -609,6 +609,9 @@ def run_reference_early_stop(data_path, model_name, epochs, seed, dd,
 
 
 def _print_deltas(ours, ref):
+    # keys starting with "_" are artifact metadata (e.g. _sampler_stream),
+    # not metrics
+    ours = {k: v for k, v in ours.items() if not k.startswith("_")}
     deltas = {k: round(ours[k] - ref[k], 4) for k in ours}
     rel = {k: (round((ours[k] - ref[k]) / ref[k] * 100, 2) if ref[k] else None)
            for k in ours}
@@ -724,6 +727,9 @@ def main():
                 print(f"ours     ({ours_wall:6.1f}s): {json.dumps(ours)}",
                       flush=True)
             dd_cached = data.device_data
+            # self-describing protocol version: v2 = seed-derived sampler
+            # stream (ours_stream_key); pre-v2 artifacts lack this key
+            ours = dict(ours, _sampler_stream="seed-derived-v2")
             with open(cache_path(seed), "w") as f:
                 json.dump(ours, f)
         if args.side == "ours":
