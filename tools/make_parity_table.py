@@ -109,8 +109,8 @@ def scale_table(results_dir, metric):
     print(f"\n### at-scale protocols (ours mean±std vs available ref "
           f"points, metric {M})\n")
     print(f"| Model / protocol | ours seeds | ours {M} mean±std "
-          f"| ref seeds | ref {M} | Δmeans % |")
-    print("|---|---|---|---|---|---|")
+          f"| ref seeds | ref {M} | Δmeans % | paired Δ% (same-seed) |")
+    print("|---|---|---|---|---|---|---|")
     consumed = {(m, base_proto(p)) for (m, p) in ours}
     for (model, proto) in sorted(set(ours) | set(ref)):
         ov = [ours[(model, proto)][s][M]
@@ -135,9 +135,23 @@ def scale_table(results_dir, metric):
         oseeds = ",".join(str(s) for s in sorted(ours.get((model, proto), {})))
         rseeds = ",".join(
             str(s) for s in sorted(ref.get(rk if ov else (model, proto), {})))
+        # same-seed paired deltas (the init/stream draws are still
+        # framework-independent, but pairing removes the seed-count
+        # imbalance from the comparison)
+        shared = sorted(set(ours.get((model, proto), {}))
+                        & set(ref.get(rk, {}))) if ov else []
+        pd = [100.0 * (ours[(model, proto)][s][M] - ref[rk][s][M])
+              / ref[rk][s][M] for s in shared]
+        if pd:
+            pmean = sum(pd) / len(pd)
+            pstd = (sum((d - pmean) ** 2 for d in pd) / len(pd)) ** 0.5 \
+                if len(pd) > 1 else float("nan")
+            paired = f"{pmean:+.2f} ± {pstd:.2f} (n={len(pd)})"
+        else:
+            paired = "—"
         print(f"| {model} `{proto}` | {oseeds or '—'} "
               f"| {omean:.4f} ± {ostd:.4f} | {rseeds or '—'} "
-              f"| {rmean:.4f} | {delta:+.2f} |")
+              f"| {rmean:.4f} | {delta:+.2f} | {paired} |")
 
 
 def main():
