@@ -15,14 +15,18 @@ while true; do
   if ! git diff --cached --quiet; then
     n=$(git diff --cached --name-only | wc -l)
     names=$(git diff --cached --name-only | sed 's|.*/||' | head -4 | paste -sd', ' -)
+    # pathspec-limited commit: never sweeps up unrelated staged work from a
+    # concurrent interactive session
     git commit -q -m "Artifact batch: ${n} result file(s) from the r4 spools (${names}...)" \
+      -- parity_results bench_zoo_foodcom.json bench_zoo_allrecipes.json \
+         bench_allrecipes.json bench_baseline.json bench_compile.json \
       && echo "committed ${n} at $(date +%H:%M:%S)"
   fi
   # Exit once both spools report drained and nothing new is pending.
   if grep -q R4_REF_QUEUE_DRAINED /tmp/r4_ref_spool.log 2>/dev/null \
      && grep -q R4_TPU_QUEUE_DRAINED /tmp/r4_tpu_spool.log 2>/dev/null; then
     git add -A parity_results 2>/dev/null
-    git diff --cached --quiet || git commit -q -m "Artifact batch: final spool drain"
+    git diff --cached --quiet || git commit -q -m "Artifact batch: final spool drain" -- parity_results
     echo "spools drained; exiting $(date +%H:%M:%S)"
     break
   fi
