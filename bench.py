@@ -195,7 +195,16 @@ def main():
             hist = json.load(f)
     slot = DATASET
     hist.setdefault(slot, {})
-    hist[slot]["cached_s" if cache_hit else "cold_s"] = round(warmup_s, 1)
+    k_slot = "cached_s" if cache_hit else "cold_s"
+    hist[slot][k_slot] = round(warmup_s, 1)
+    # ADVICE r4: annotate each measurement with host load so a re-measurement
+    # under torch-spool contention can't silently replace (and be conflated
+    # with) a quiet-host figure; also keep the best-ever figure per slot.
+    hist[slot][k_slot + "_loadavg_1m"] = round(os.getloadavg()[0], 2)
+    best_key = k_slot + "_best"
+    prev_best = hist[slot].get(best_key)
+    hist[slot][best_key] = round(min(warmup_s, prev_best)
+                                 if prev_best else warmup_s, 1)
     with open(hist_path, "w") as f:
         json.dump(hist, f, indent=2, sort_keys=True)
     compile_cold_s = hist[slot].get("cold_s")
@@ -269,6 +278,12 @@ def main():
             "compile_cache_hit": cache_hit,
             "compile_cold_s": compile_cold_s,
             "compile_cached_s": compile_cached_s,
+            # host contention context (ADVICE r4): compile/timing numbers on
+            # this 1-core host vary ~2x with concurrent torch-spool load, so
+            # every artifact records the 1-min loadavg at measurement time —
+            # contended and quiet figures can no longer be conflated.
+            "host_loadavg_1m": round(os.getloadavg()[0], 2),
+            "host_cpus": os.cpu_count(),
         },
     }))
 

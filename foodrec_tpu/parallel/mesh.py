@@ -8,8 +8,10 @@ a jax.sharding.Mesh with named axes:
 
   * 'data'  — interactions are sharded per train step; pjit emits the psum
     gradient reduction over ICI automatically
-  * 'model' — (reserved) item-dim sharding of embedding tables / features for
-    distributed full-catalog eval
+  * 'model' — item-dim sharding of embedding tables / features for model-axis
+    training and distributed full-catalog eval (exercised by tests/test_mesh.py
+    and the driver's 2-D {data×model} dryrun, MULTICHIP_r04.json: max param
+    delta 0.00e+00 vs replicated)
 
 config['mesh_shape'] (e.g. {data: 8}) switches it on; all sharding is
 expressed as with_sharding_constraint inside the already-jitted epoch, so the

@@ -134,8 +134,97 @@ def map_bm3(ref):
     }
 
 
+def map_schgn(ref):
+    """reference schgn.py:80-125 raw nn.Parameters -> models/schgn.py layout
+    (tests/test_schgn_full_parity.py::_copy_params). The torch-only zero pad
+    row `ingre_embed_second` (schgn.py:84) is a constant 0 on our side
+    (models/schgn.py:_gcn) and receives zero gradient (certified by the SCHGN
+    gradcert), so it is intentionally absent from the map."""
+    def lin(mod, bias=True):
+        p = {"w": _t(mod.weight).T}
+        if bias:
+            p["b"] = _t(mod.bias)
+        return p
+
+    enc = []
+    for tl in ref.ingre_encoder.layer:
+        att, inter = tl.attention, tl.intermediate
+        enc.append({
+            "q_w": _t(att.query.weight).T, "q_b": _t(att.query.bias),
+            "k_w": _t(att.key.weight).T, "k_b": _t(att.key.bias),
+            "v_w": _t(att.value.weight).T, "v_b": _t(att.value.bias),
+            "dense_w": _t(att.dense.weight).T, "dense_b": _t(att.dense.bias),
+            "ff1_w": _t(inter.dense_1.weight).T,
+            "ff1_b": _t(inter.dense_1.bias),
+            "ff2_w": _t(inter.dense_2.weight).T,
+            "ff2_b": _t(inter.dense_2.bias),
+            "ln1_g": _t(att.LayerNorm.weight), "ln1_b": _t(att.LayerNorm.bias),
+            "ln2_g": _t(inter.LayerNorm.weight),
+            "ln2_b": _t(inter.LayerNorm.bias),
+        })
+    return {
+        "user_embed": _t(ref.user_embed),
+        "item_embed": _t(ref.item_embed),
+        "ingre_embed_first": _t(ref.ingre_embed_first),
+        "ingre_embed_mask": _t(ref.ingre_embed_mask),
+        "health_embed": _t(ref.health_embed),
+        "gcn": {"w": _t(ref.new_gcn.conv1.lin.weight).T,
+                "b": _t(ref.new_gcn.conv1.bias)},
+        "img_trans": lin(ref.img_trans),
+        "W_att_ingre": lin(ref.W_att_ingre),
+        "h_att_ingre": {"w": _t(ref.h_att_ingre.weight).T},
+        "W_att_comp": lin(ref.W_att_comp),
+        "h_att_comp": {"w": _t(ref.h_att_comp.weight).T},
+        "W_concat": lin(ref.W_concat),
+        "output_mlp": {"w": _t(ref.output_mlp.weight).T},
+        "mip_norm": lin(ref.mip_norm),
+        "encoder": enc,
+    }
+
+
+def map_fgcn(ref):
+    """reference fgcn.py:26-80 -> models/fgcn.py init_params
+    (tests/test_fgcn_full_parity.py::_copy_params)."""
+    def lin(mod):
+        return {"w": _t(mod.weight).T, "b": _t(mod.bias)}
+
+    def aggs(layers):
+        out = []
+        for agg in layers:
+            if agg.aggregator_type == "bi":
+                out.append({"W1": lin(agg.W1), "W2": lin(agg.W2)})
+            else:
+                out.append({"W": lin(agg.W)})
+        return out
+
+    return {
+        "user_embedding": _t(ref.user_embedding.weight),
+        "item_id_embedding": _t(ref.item_id_embedding.weight),
+        "ingre_embedding": _t(ref.ingre_embedding.weight),
+        "w1_conv": lin(ref.w1_conv),
+        "ir_aggs": aggs(ref.ir_aggregator_layers),
+        "ru_aggs": aggs(ref.ru_aggregator_layers),
+    }
+
+
+def map_pricai(ref):
+    """reference pricai_modelx.py:43-71 -> models/pricai_modelx.py
+    init_params (default config: use_center_embedding unset, so prototypes
+    are free embeddings and there are no image/text_trs linears; the
+    reference's proj_ingre/text/image linears only feed dead CL-loss code —
+    pricai_modelx.py:354-393 — and receive no gradient)."""
+    return {
+        "user_embedding": _t(ref.user_embedding.weight),
+        "item_embedding": _t(ref.item_embedding.weight),
+        "ingre_embedding": _t(ref.ingre_embedding.weight),
+        "image_prototype_embedding": _t(ref.image_prototype_embedding.weight),
+        "text_prototype_embedding": _t(ref.text_prototype_embedding.weight),
+    }
+
+
 PARAM_MAPS = {"LightGCN": map_lightgcn, "CIKM_Model": map_cikm,
-              "BM3": map_bm3}
+              "BM3": map_bm3, "SCHGN": map_schgn, "FGCN": map_fgcn,
+              "PRICAI_ModelX": map_pricai}
 # model-specific overrides applied to BOTH sides so the compared program is
 # deterministic given the recorded batch stream
 LOCK_OVERRIDES = {"CIKM_Model": {"attention_probs_dropout_prob": 0.0},
@@ -143,7 +232,27 @@ LOCK_OVERRIDES = {"CIKM_Model": {"attention_probs_dropout_prob": 0.0},
                   # dropout (reference bm3.py:110-123, torch RNG — not
                   # replayable); 0.0 makes both sides deterministic given
                   # the recorded triples.
-                  "BM3": {"dropout": 0.0}}
+                  "BM3": {"dropout": 0.0},
+                  # SCHGN: encoder dropouts off via config; the hardcoded
+                  # p=0.5 score dropout (reference schgn.py:267) is patched
+                  # to identity on the ref side and disabled via
+                  # batch["deterministic"] on ours; SSL mask sequences are
+                  # RECORDED (EXTRA_RECORD) so the SSL loss stays lockstep.
+                  "SCHGN": {"hidden_dropout_prob": 0.0,
+                            "attention_probs_dropout_prob": 0.0,
+                            "schgn_faithful_interleave": True},
+                  # FGCN: message dropout (reference fgcn.py:229,261) off on
+                  # both sides.
+                  "FGCN": {"mess_dropout": 0.0}}
+# extra per-batch tensors to record beyond (u, pos, neg):
+# {model: [(ref_batch_key, ours_batch_key), ...]}. SCHGN's masked-ingredient
+# SSL sequences are drawn by np.random inside the reference dataloader
+# (dataloader.py:117-143) — recording them makes the SSL loss a deterministic
+# function of the stream on both sides (ours consumes them via
+# _ssl_loss_from_seqs, models/schgn.py:320-325).
+EXTRA_RECORD = {"SCHGN": [("masked_ingre_seq", "ssl_masked_seq"),
+                          ("pos_ingre_seq", "ssl_pos_seq"),
+                          ("neg_ingre_seq", "ssl_neg_seq")]}
 
 
 # ------------------------------------------------------------ pytree <-> npz
@@ -231,9 +340,20 @@ def run_ref(args, data_path, out_dir):
             opt, lr_lambda=lambda e: config["learning_rate_scheduler"][0]
             ** (e / config["learning_rate_scheduler"][1]))
 
+        if args.model == "SCHGN":
+            # the ONE train-time RNG not captured by the recorded stream:
+            # the hardcoded p=0.5 score dropout (reference schgn.py:267,
+            # torch RNG). Identity-patch it for the lockstep program; the
+            # encoder dropouts are already 0.0 via LOCK_OVERRIDES, so the
+            # patch changes nothing else.
+            import torch.nn.functional as F
+
+            F.dropout = lambda x, p=0.5, training=False, inplace=False: x
+
         eval_test = build_eval_test(data_path)
         model.train()
         u_rec, p_rec, n_rec = [], [], []
+        extra_rec = {rk: [] for rk, _ in EXTRA_RECORD.get(args.model, [])}
         losses, metrics = [], []
         for ep in range(args.epochs):
             t0 = time.time()
@@ -242,6 +362,8 @@ def run_ref(args, data_path, out_dir):
                 u_rec.append(batch["u_id"].numpy().astype(np.int32))
                 p_rec.append(batch["pos_i_id"].numpy().astype(np.int32))
                 n_rec.append(batch["neg_i_id"].numpy().astype(np.int32))
+                for rk in extra_rec:
+                    extra_rec[rk].append(batch[rk].numpy().astype(np.int32))
                 opt.zero_grad()
                 parts = model.calculate_loss(batch)
                 sum(parts).backward()
@@ -261,7 +383,9 @@ def run_ref(args, data_path, out_dir):
         np.savez(os.path.join(out_dir, "batches.npz"),
                  u=np.concatenate(u_rec), pos=np.concatenate(p_rec),
                  neg=np.concatenate(n_rec),
-                 sizes=np.array([len(x) for x in u_rec], np.int32))
+                 sizes=np.array([len(x) for x in u_rec], np.int32),
+                 **{ok: np.concatenate(extra_rec[rk])
+                    for rk, ok in EXTRA_RECORD.get(args.model, [])})
         np.save(os.path.join(out_dir, "ref_losses.npy"),
                 np.array(losses, dtype=np.float64))
         np.savez(os.path.join(out_dir, "ref_final_params.npz"),
@@ -380,9 +504,15 @@ def run_ours(args, data_path, out_dir):
 
     rec = np.load(os.path.join(out_dir, "batches.npz"))
     u_all, p_all, n_all = rec["u"], rec["pos"], rec["neg"]
+    extra_keys = [ok for _, ok in EXTRA_RECORD.get(args.model, [])]
+    extra_all = {ok: rec[ok] for ok in extra_keys}
     sizes = rec["sizes"]
     n_batches_ep = len(sizes) // args.epochs
     assert len(sizes) % args.epochs == 0
+    # deterministic mode (models that read it, i.e. SCHGN): no score
+    # dropout, SSL from the recorded sequences — mirrors the ref-side
+    # F.dropout identity patch
+    det = bool(EXTRA_RECORD.get(args.model)) or args.model == "SCHGN"
 
     def loss_and_parts(params, batch):
         losses = model.calculate_loss(params, batch)
@@ -394,11 +524,13 @@ def run_ours(args, data_path, out_dir):
     fixed_key = jax.random.PRNGKey(0)  # dropout is 0 in lockstep; inert
 
     @jax.jit
-    def step(buffers, params, opt_state, u, pos, neg):
+    def step(buffers, params, opt_state, u, pos, neg, extras):
+        batch = {"u_id": u, "pos_i_id": pos, "neg_i_id": neg,
+                 "key": fixed_key, **extras}
+        if det:
+            batch["deterministic"] = True
         with model.bind(buffers):
-            (_, parts), grads = grad_fn(
-                params, {"u_id": u, "pos_i_id": pos, "neg_i_id": neg,
-                         "key": fixed_key})
+            (_, parts), grads = grad_fn(params, batch)
         updates, opt_state = trainer.optimizer.update(grads, opt_state,
                                                       params)
         params = optax.apply_updates(params, updates)
@@ -416,7 +548,8 @@ def run_ours(args, data_path, out_dir):
             params, opt_state, parts = step(
                 trainer._buffers, params, opt_state,
                 jnp.asarray(u_all[sl]), jnp.asarray(p_all[sl]),
-                jnp.asarray(n_all[sl]))
+                jnp.asarray(n_all[sl]),
+                {ok: jnp.asarray(extra_all[ok][sl]) for ok in extra_keys})
             ep_losses.append(np.asarray(parts, np.float64).tolist())
         losses.append(ep_losses)
         m = pc.ours_eval(trainer, data, params,

@@ -22,6 +22,43 @@ from collections import defaultdict
 
 CACHE = "/tmp/foodrec_parity/results"
 
+# Ref-less at-scale rows: why there is no torch endpoint column, so the
+# emitted table never shows a bare `nan` (VERDICT r4 weak #4/#6). Keys are
+# (model, base_proto). Rows whose ref campaigns are still in a spool say so;
+# rows with no affordable/plannable torch endpoint carry an explicit
+# "anchors only" tag pointing at the deterministic evidence that bounds them.
+REF_PENDING = {
+    ("CIKM_Model", "fix30_foodcom"):
+        "anchors only — no ref endpoint planned (decay-slope note §3; "
+        "gradcert 2.0e-13 + 3-epoch lockstep bound the trajectory)",
+    ("CIKM_Model", "es_foodcom"):
+        "anchors only — no endpoint claim (±15% protocol scatter exceeds "
+        "any affordable ref ensemble; bounded by gradcert + lockstep)",
+    ("LightGCN", "es_foodcom"):
+        "anchors only — ref es60 ≈ 5h/seed on the 1-core host and a single "
+        "seed cannot resolve ±0.5% (fix-15 seed scatter ±0.8%); bounded by "
+        "the 5-seed fix-15 band + decay-slope note",
+    ("FGCN", "fix15_foodcom"): "queued (ref spool job 050)",
+    ("PRICAI_ModelX", "fix15_foodcom"):
+        "anchors only — ref fix-15 ≈ 5.2h contended; bounded by gradcert "
+        "6.2e-14 (both scales)",
+    ("LightGCN", "fix15_allrecipes"):
+        "ref fix-15 infeasible (2,263s/epoch ⇒ ~9.4h/seed); covered by the "
+        "2-epoch lockstep replay (§2)",
+    ("BM3", "fix15_allrecipes"):
+        "ref fix-15 infeasible on this box; covered by the 2-epoch lockstep "
+        "replay (§2)",
+    ("CIKM_Model", "fix15_allrecipes"):
+        "anchors only — ref epoch ≈ 10,873s (bench_baseline.json); bounded "
+        "by gradcert 4.0e-13 at full Allrecipes dims",
+    ("SCHGN", "fix15_allrecipes"):
+        "anchors only — bounded by gradcert at full Allrecipes dims",
+    ("FGCN", "fix15_allrecipes"):
+        "anchors only — bounded by gradcert at full Allrecipes dims",
+    ("PRICAI_ModelX", "fix15_allrecipes"):
+        "anchors only — bounded by gradcert at full Allrecipes dims",
+}
+
 
 def parse_name(fname):
     """-> (model, seed, proto_tag) e.g. 'CIKM_Model_999_es.json' ->
@@ -105,9 +142,18 @@ def scale_table(results_dir, metric):
                            proto)
         return proto
 
+    def mean_std(vals):
+        """(mean, sample std ddof=1 or None). Sample std is the error-bar
+        convention for every std this tool prints (n here is 2–10, where
+        population std understates the uncertainty)."""
+        m = sum(vals) / len(vals)
+        s = ((sum((v - m) ** 2 for v in vals) / (len(vals) - 1)) ** 0.5
+             if len(vals) > 1 else None)
+        return m, s
+
     M = metric
     print(f"\n### at-scale protocols (ours mean±std vs available ref "
-          f"points, metric {M})\n")
+          f"points, metric {M}; all stds are sample std, ddof=1)\n")
     print(f"| Model / protocol | ours seeds | ours {M} mean±std "
           f"| ref seeds | ref {M} | Δmeans % | paired Δ% (same-seed) |")
     print("|---|---|---|---|---|---|---|")
@@ -126,15 +172,24 @@ def scale_table(results_dir, metric):
                 continue
             rv = [ref[(model, proto)][s][M]
                   for s in sorted(ref[(model, proto)])]
-        omean = sum(ov) / len(ov) if ov else float("nan")
-        ostd = ((sum((v - omean) ** 2 for v in ov) / len(ov)) ** 0.5
-                if len(ov) > 1 else float("nan"))
-        rmean = sum(rv) / len(rv) if rv else float("nan")
-        delta = (100.0 * (omean - rmean) / rmean if ov and rv
-                 else float("nan"))
+        if ov:
+            omean, ostd = mean_std(ov)
+            ocell = f"{omean:.4f} ± {ostd:.4f}" if ostd is not None \
+                else f"{omean:.4f} (n=1)"
+        else:
+            ocell = "—"
         oseeds = ",".join(str(s) for s in sorted(ours.get((model, proto), {})))
         rseeds = ",".join(
             str(s) for s in sorted(ref.get(rk if ov else (model, proto), {})))
+        if rv:
+            rmean, _ = mean_std(rv)
+            rcell = f"{rmean:.4f}"
+            dcell = (f"{100.0 * (omean - rmean) / rmean:+.2f}" if ov else "—")
+        else:
+            # never print a bare nan: say why the ref column is empty
+            note = REF_PENDING.get((model, base_proto(proto)))
+            rcell = note if note else "— (no ref endpoint)"
+            dcell = "—"
         # same-seed paired deltas (the init/stream draws are still
         # framework-independent, but pairing removes the seed-count
         # imbalance from the comparison)
@@ -143,15 +198,14 @@ def scale_table(results_dir, metric):
         pd = [100.0 * (ours[(model, proto)][s][M] - ref[rk][s][M])
               / ref[rk][s][M] for s in shared]
         if pd:
-            pmean = sum(pd) / len(pd)
-            pstd = (sum((d - pmean) ** 2 for d in pd) / len(pd)) ** 0.5 \
-                if len(pd) > 1 else float("nan")
-            paired = f"{pmean:+.2f} ± {pstd:.2f} (n={len(pd)})"
+            pmean, pstd = mean_std(pd)
+            paired = (f"{pmean:+.2f} ± {pstd:.2f} (n={len(pd)})"
+                      if pstd is not None else f"{pmean:+.2f} (n=1)")
         else:
             paired = "—"
         print(f"| {model} `{proto}` | {oseeds or '—'} "
-              f"| {omean:.4f} ± {ostd:.4f} | {rseeds or '—'} "
-              f"| {rmean:.4f} | {delta:+.2f} | {paired} |")
+              f"| {ocell} | {rseeds or '—'} "
+              f"| {rcell} | {dcell} | {paired} |")
 
 
 def main():
@@ -190,7 +244,7 @@ def main():
     M = args.metric
     for proto, entries in sorted(byproto.items()):
         print(f"\n### protocol `{proto}`  (delta% = (ours - ref) / ref, "
-              f"metric {M})\n")
+              f"metric {M}; std is sample std, ddof=1)\n")
         print(f"| Model | seeds | per-seed Δ{M} % | mean | std |")
         print("|---|---|---|---|---|")
         for model, seeds in entries:
@@ -199,11 +253,11 @@ def main():
                 om, rm = seeds[s]
                 ds.append(100.0 * (om[M] - rm[M]) / rm[M])
             mean = sum(ds) / len(ds)
-            std = (sum((d - mean) ** 2 for d in ds) / len(ds)) ** 0.5 \
-                if len(ds) > 1 else float("nan")
+            std = (f"{(sum((d - mean) ** 2 for d in ds) / (len(ds) - 1)) ** 0.5:.2f}"
+                   if len(ds) > 1 else "— (n=1)")
             per = ", ".join(f"{d:+.2f}" for d in ds)
             print(f"| {model} | {min(seeds)}–{max(seeds)} ({len(ds)}) "
-                  f"| {per} | **{mean:+.2f}** | {std:.2f} |")
+                  f"| {per} | **{mean:+.2f}** | {std} |")
 
     if unpaired:
         print(f"\n{len(unpaired)} single-sided (unpaired) results "
