@@ -41,11 +41,11 @@ def test_scale_table_has_no_nan(tmp_path):
 
 def test_scale_table_refless_row_uses_pending_note(tmp_path):
     d = str(tmp_path)
-    _write(d, "FGCN_998_fix15_foodcom.json", {"NDCG@20": 0.05})
-    _write(d, "FGCN_999_fix15_foodcom.json", {"NDCG@20": 0.06})
+    _write(d, "PRICAI_ModelX_998_fix15_foodcom.json", {"NDCG@20": 0.16})
+    _write(d, "PRICAI_ModelX_999_fix15_foodcom.json", {"NDCG@20": 0.16})
     out = _run(["--scale-stats", "--dir", d], cwd=REPO)
     assert "nan" not in out
-    assert "queued (ref spool job 050)" in out
+    assert "anchors only" in out
 
 
 def test_per_protocol_table_has_no_nan(tmp_path):

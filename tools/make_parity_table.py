@@ -35,10 +35,12 @@ REF_PENDING = {
         "anchors only — no endpoint claim (±15% protocol scatter exceeds "
         "any affordable ref ensemble; bounded by gradcert + lockstep)",
     ("LightGCN", "es_foodcom"):
-        "anchors only — ref es60 ≈ 5h/seed on the 1-core host and a single "
-        "seed cannot resolve ±0.5% (fix-15 seed scatter ±0.8%); bounded by "
-        "the 5-seed fix-15 band + decay-slope note",
-    ("FGCN", "fix15_foodcom"): "queued (ref spool job 050)",
+        "grid-60 ref infeasible (≈5h/seed on the 1-core host); closure "
+        "delivered by the protocol-equivalent es30 row (ours best-on-valid "
+        "is bit-identical under both grids — the best epoch is 10 on all "
+        "10 seeds)",
+    ("LightGCN", "es_foodcom_es_grid=30"):
+        "ref running (spool job 070)",
     ("PRICAI_ModelX", "fix15_foodcom"):
         "anchors only — ref fix-15 ≈ 5.2h contended; bounded by gradcert "
         "6.2e-14 (both scales)",
